@@ -1,0 +1,298 @@
+"""Index build pipeline: pages → docs → postings → stats → segments.
+
+Spark-first re-expression of the reference's write path
+(``/root/reference/src/index.rs:131-161`` + ``src/json_shred.rs:314-409``):
+instead of shredding one document at a time into RocksDB KVs, the build
+is five declarative stages, each committed as an Iceberg-style snapshot
+(resume = skip committed stages):
+
+A. ``docs``        — stable dense docIDs (rank over url) + byte-exact
+                     text extraction from html; the document store
+                     (re-expresses the ``V``/``I``/``S`` keyspaces).
+B. ``postings``    — Arrow-batched tokenize → ``(term, doc_id, tf,
+                     positions, dl)``; partition-local, no shuffle
+                     (re-expresses the ``W``/``L`` keyspaces).
+C. ``term_stats``  — ``(term, df, cf)`` via groupBy (the ``C``/``K``
+                     doc-frequency stats; map-side partial agg).
+D. ``corpus_stats``— ``(n_docs, total_tokens, avg_dl)``.
+E. ``segments``    — salted repartition-by-term with explicit
+                     heavy-hitter splitting, per-(term,salt) sorted
+                     posting blocks compressed docID-delta+varbyte with
+                     block-max scores for WAND; written partitioned by a
+                     deterministic term bucket for query-time pruning.
+
+Skew note (the Zipf head): AQE rebalances joins but NOT a groupBy whose
+single hottest key exceeds a partition, so hot terms are pre-split into
+``(term, salt)`` sub-lists, salted BY DOC-ID RANGE (not hash) so the
+per-salt blocks of one term stay globally sorted by docID and need no
+second merge pass.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+import zlib
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import BM25_B, BM25_K1
+from ..analysis.tokenizer import ANALYZERS
+from ..corpus import extract_text_from_html
+from . import codec
+from .catalog import IndexCatalog
+from .docids import assign_doc_ids
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+    ]
+)
+
+POSTINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("tf", T.IntegerType(), False),
+        T.StructField("positions", T.ArrayType(T.IntegerType()), False),
+        T.StructField("dl", T.IntegerType(), False),
+    ]
+)
+
+SEGMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("salt", T.IntegerType(), False),
+        T.StructField("block_id", T.IntegerType(), False),
+        T.StructField("n_docs", T.IntegerType(), False),
+        T.StructField("first_doc", T.LongType(), False),
+        T.StructField("last_doc", T.LongType(), False),
+        T.StructField("docs", T.BinaryType(), False),
+        T.StructField("tfs", T.BinaryType(), False),
+        T.StructField("positions", T.BinaryType(), False),
+        T.StructField("max_tf_norm", T.DoubleType(), False),
+        T.StructField("bucket", T.IntegerType(), False),
+    ]
+)
+
+N_BUCKETS = 64
+
+
+def term_bucket(term: str, n_buckets: int = N_BUCKETS) -> int:
+    """Deterministic, process-stable term → bucket (crc32, not hash())."""
+    return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
+@dataclass
+class BuildConfig:
+    analyzer: str = "porter"
+    block_size: int = 128
+    postings_per_salt: int = 200_000  # hot-term split threshold (df per salt)
+    n_buckets: int = N_BUCKETS
+    partitions: int | None = None
+    verify_extraction: bool = True
+    bm25_k1: float = BM25_K1
+    bm25_b: float = BM25_B
+    extra: dict = field(default_factory=dict)
+
+
+def _tokenize_batches(analyzer_name: str, verify: bool):
+    analyze = ANALYZERS[analyzer_name]
+
+    def fn(iterator):
+        for pdf in iterator:
+            terms_col, docs_col, tfs_col, pos_col, dl_col = [], [], [], [], []
+            texts = pdf["text"].tolist()
+            doc_ids = pdf["doc_id"].tolist()
+            for doc_id, text in zip(doc_ids, texts):
+                toks = analyze(text if text is not None else "")
+                dl = len(toks)
+                per_term: dict[str, list[int]] = {}
+                for pos, term in toks:
+                    per_term.setdefault(term, []).append(pos)
+                for term, positions in per_term.items():
+                    terms_col.append(term)
+                    docs_col.append(doc_id)
+                    tfs_col.append(len(positions))
+                    pos_col.append(positions)
+                    dl_col.append(dl)
+            yield pd.DataFrame(
+                {
+                    "term": terms_col,
+                    "doc_id": docs_col,
+                    "tf": tfs_col,
+                    "positions": pos_col,
+                    "dl": dl_col,
+                }
+            )
+
+    return fn
+
+
+def _extract_docs(iterator):
+    """html → text extraction inside an Arrow batch; byte-identity check
+    against the provided ``text`` column (the per-row invariant)."""
+    for pdf in iterator:
+        extracted = [extract_text_from_html(h) for h in pdf["html"]]
+        given = pdf["text"].tolist()
+        for u, e, g in zip(pdf["url"], extracted, given):
+            if g is not None and e != g:
+                raise ValueError(f"extraction not byte-identical for url={u}")
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "url": pdf["url"],
+                "warc_ts": pdf["warc_ts"],
+                "lang": pdf["lang"],
+                "text": extracted,
+            }
+        )
+
+
+def _make_block_builder(avg_dl: float, block_size: int, n_buckets: int, k1: float, b: float):
+    def build_blocks(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        term, salt = key
+        pdf = pdf.sort_values("doc_id")
+        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        tfs = pdf["tf"].to_numpy(dtype=np.int64)
+        dls = pdf["dl"].to_numpy(dtype=np.float64)
+        positions = pdf["positions"].tolist()
+        tf_norm = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avg_dl))
+        bucket = term_bucket(term, n_buckets)
+        rows = []
+        for blk, start in enumerate(range(0, len(doc_ids), block_size)):
+            end = min(start + block_size, len(doc_ids))
+            rows.append(
+                {
+                    "term": term,
+                    "salt": int(salt),
+                    "block_id": blk,
+                    "n_docs": end - start,
+                    "first_doc": int(doc_ids[start]),
+                    "last_doc": int(doc_ids[end - 1]),
+                    "docs": codec.delta_encode(doc_ids[start:end]),
+                    "tfs": codec.varbyte_encode(tfs[start:end].astype(np.uint64)),
+                    "positions": codec.encode_positions(positions[start:end]),
+                    "max_tf_norm": float(tf_norm[start:end].max()),
+                    "bucket": bucket,
+                }
+            )
+        return pd.DataFrame(rows, columns=[f.name for f in SEGMENTS_SCHEMA.fields])
+
+    return build_blocks
+
+
+def build_index(
+    spark: SparkSession,
+    pages: DataFrame,
+    index_dir: str,
+    config: BuildConfig | None = None,
+    fail_after_stage: str | None = None,
+) -> dict:
+    """Run the five-stage build with snapshot commits; resumes from the
+    last committed stage. ``fail_after_stage`` injects a crash for the
+    resume test. Returns build metrics."""
+    cfg = config or BuildConfig()
+    cat = IndexCatalog(index_dir)
+    metrics: dict = {"stages": {}}
+
+    def done(stage: str) -> bool:
+        if cat.stage_complete(stage):
+            metrics["stages"][stage] = {"skipped": True, **(cat.stage_info(stage) or {}).get("metrics", {})}
+            return True
+        return False
+
+    def commit(stage: str, stage_metrics: dict):
+        info = cat.commit_stage(stage, stage_metrics)
+        metrics["stages"][stage] = {**stage_metrics, "rows": info["rows"], "files": info["files"]}
+        if fail_after_stage == stage:
+            raise RuntimeError(f"injected failure after stage {stage}")
+
+    # -- stage A: docs ------------------------------------------------------
+    if not done("docs"):
+        t0 = time.time()
+        numbered = assign_doc_ids(pages, partitions=cfg.partitions)
+        docs = numbered.mapInPandas(_extract_docs, schema=DOCS_SCHEMA)
+        docs.write.mode("overwrite").parquet(cat.stage_path("docs"))
+        commit("docs", {"seconds": time.time() - t0})
+
+    docs = spark.read.parquet(cat.stage_path("docs"))
+
+    # -- stage B: postings (partition-local tokenize; no shuffle) -----------
+    if not done("postings"):
+        t0 = time.time()
+        postings = docs.select("doc_id", "text").mapInPandas(
+            _tokenize_batches(cfg.analyzer, cfg.verify_extraction), schema=POSTINGS_SCHEMA
+        )
+        postings.write.mode("overwrite").parquet(cat.stage_path("postings"))
+        commit("postings", {"seconds": time.time() - t0, "analyzer": cfg.analyzer})
+
+    postings = spark.read.parquet(cat.stage_path("postings"))
+
+    # -- stage C: term stats -------------------------------------------------
+    if not done("term_stats"):
+        t0 = time.time()
+        term_stats = postings.groupBy("term").agg(
+            F.count("*").alias("df"), F.sum("tf").alias("cf")
+        )
+        term_stats.write.mode("overwrite").parquet(cat.stage_path("term_stats"))
+        commit("term_stats", {"seconds": time.time() - t0})
+
+    # -- stage D: corpus stats ------------------------------------------------
+    if not done("corpus_stats"):
+        t0 = time.time()
+        n_docs = docs.count()
+        total_tokens = postings.agg(F.sum("tf")).collect()[0][0] or 0
+        row = spark.createDataFrame(
+            [(n_docs, int(total_tokens), float(total_tokens) / max(n_docs, 1))],
+            "n_docs long, total_tokens long, avg_dl double",
+        )
+        row.coalesce(1).write.mode("overwrite").parquet(cat.stage_path("corpus_stats"))
+        commit("corpus_stats", {"seconds": time.time() - t0, "n_docs": n_docs})
+
+    stats_row = spark.read.parquet(cat.stage_path("corpus_stats")).collect()[0]
+    n_docs, avg_dl = stats_row["n_docs"], stats_row["avg_dl"]
+
+    # -- stage E: segments (salted merge + block compression) ----------------
+    if not done("segments"):
+        t0 = time.time()
+        term_stats = spark.read.parquet(cat.stage_path("term_stats"))
+        # Only the Zipf head needs splitting; broadcast just the hot terms.
+        hot = term_stats.filter(F.col("df") > cfg.postings_per_salt).select(
+            "term", F.ceil(F.col("df") / cfg.postings_per_salt).cast("int").alias("n_salts")
+        )
+        salted = (
+            postings.join(F.broadcast(hot), "term", "left")
+            .withColumn("n_salts", F.coalesce(F.col("n_salts"), F.lit(1)))
+            # range salting: salt = doc_id * n_salts / n_docs keeps each
+            # salt a contiguous docID range → per-term blocks stay sorted
+            .withColumn(
+                "salt",
+                F.least(
+                    (F.col("doc_id") * F.col("n_salts") / F.lit(n_docs)).cast("int"),
+                    F.col("n_salts") - 1,
+                ),
+            )
+            .drop("n_salts")
+        )
+        segments = salted.groupBy("term", "salt").applyInPandas(
+            _make_block_builder(avg_dl, cfg.block_size, cfg.n_buckets, cfg.bm25_k1, cfg.bm25_b),
+            schema=SEGMENTS_SCHEMA,
+        )
+        segments.write.mode("overwrite").partitionBy("bucket").parquet(
+            cat.stage_path("segments")
+        )
+        commit("segments", {"seconds": time.time() - t0})
+
+    metrics["n_docs"] = n_docs
+    metrics["avg_dl"] = avg_dl
+    return metrics

@@ -1,0 +1,116 @@
+"""Iceberg-style snapshot catalog for index state.
+
+The reference commits every build atomically as one RocksDB WriteBatch
+plus a header bump (``/root/reference/src/index.rs:218-227``); readers
+pin a snapshot (``src/index.rs:122-124``). This module re-expresses that
+as table-format commits: every completed build stage appends an
+immutable manifest JSON (stage → data path, row counts, per-file
+lineage, metrics, checksum) and atomically swings a ``_CURRENT``
+pointer. An interrupted build resumes by reading ``_CURRENT`` and
+skipping stages whose manifests are already committed — the
+per-partition lineage + resumability requirement of the north rule.
+
+On a real cluster the same protocol maps 1:1 onto Iceberg snapshot
+commits (one commit per stage, lineage in the snapshot summary); the
+sandbox has no Iceberg runtime jar, so the manifest/pointer protocol is
+implemented directly over the filesystem with the identical semantics
+(atomic pointer swap = atomic snapshot publish).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+import zlib
+
+
+class IndexCatalog:
+    CURRENT = "_CURRENT"
+
+    def __init__(self, root: str):
+        self.root = root
+        self.manifest_dir = os.path.join(root, "_manifests")
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    # -- snapshot read side -------------------------------------------------
+    def current_manifest(self) -> dict:
+        ptr = os.path.join(self.root, self.CURRENT)
+        if not os.path.exists(ptr):
+            return {"snapshot_id": None, "stages": {}}
+        with open(ptr) as f:
+            name = f.read().strip()
+        with open(os.path.join(self.manifest_dir, name)) as f:
+            return json.load(f)
+
+    def stage_info(self, stage: str) -> dict | None:
+        return self.current_manifest()["stages"].get(stage)
+
+    def stage_complete(self, stage: str) -> bool:
+        info = self.stage_info(stage)
+        if info is None:
+            return False
+        # data files must still exist (a torn write never commits, but be safe)
+        return os.path.exists(info["path"])
+
+    def stage_path(self, stage: str) -> str:
+        return os.path.join(self.root, stage)
+
+    # -- commit side ----------------------------------------------------------
+    def _file_lineage(self, path: str) -> list[dict]:
+        """Per-file lineage rows from parquet footers (metadata-only read)."""
+        import pyarrow.dataset as ds
+
+        out = []
+        try:
+            dataset = ds.dataset(path, format="parquet", partitioning="hive")
+        except Exception:
+            return out
+        for frag in dataset.get_fragments():
+            rows = frag.count_rows()
+            size = os.path.getsize(frag.path)
+            out.append(
+                {
+                    "file": os.path.relpath(frag.path, self.root),
+                    "rows": int(rows),
+                    "bytes": int(size),
+                    "checksum": f"{zlib.crc32(f'{frag.path}:{rows}:{size}'.encode()):08x}",
+                }
+            )
+        return out
+
+    def commit_stage(self, stage: str, metrics: dict | None = None) -> dict:
+        """Publish ``stage`` (data already written to ``stage_path``) as a
+        new snapshot: append-only manifest + atomic pointer swap."""
+        path = self.stage_path(stage)
+        lineage = self._file_lineage(path)
+        prev = self.current_manifest()
+        snapshot_id = uuid.uuid4().hex[:16]
+        manifest = {
+            "snapshot_id": snapshot_id,
+            "parent": prev.get("snapshot_id"),
+            "committed_ts": time.time(),
+            "stages": dict(prev["stages"]),
+        }
+        manifest["stages"][stage] = {
+            "path": path,
+            "rows": sum(r["rows"] for r in lineage),
+            "files": len(lineage),
+            "bytes": sum(r["bytes"] for r in lineage),
+            "lineage": lineage,
+            "metrics": metrics or {},
+            "committed_ts": time.time(),
+        }
+        name = f"manifest-{snapshot_id}.json"
+        mpath = os.path.join(self.manifest_dir, name)
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, mpath)
+        # atomic pointer swap = snapshot publish
+        ptr_tmp = os.path.join(self.root, self.CURRENT + ".tmp")
+        with open(ptr_tmp, "w") as f:
+            f.write(name)
+        os.replace(ptr_tmp, os.path.join(self.root, self.CURRENT))
+        return manifest["stages"][stage]

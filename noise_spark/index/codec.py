@@ -1,0 +1,111 @@
+"""Posting-block compression: docID-delta + varbyte, numpy-vectorized.
+
+Re-expresses the reference's varint position payloads
+(``/root/reference/src/json_shred.rs:159-181``, decode
+``src/snapshot.rs:107-120``) as block-level columnar compression per the
+north star: doc IDs are delta-encoded then varbyte (LEB128,
+continuation-high-bit) packed; term frequencies and positions use plain
+varbyte. All encode/decode paths are numpy-vectorized so they run at
+Arrow-batch speed inside pandas UDFs — no per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Vectorized LEB128 encode of a non-negative int array."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # byte length per value = ceil(bits/7), min 1
+    nbytes = np.ones(v.size, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nbytes += (tmp > 0).astype(np.int64)
+        tmp >>= np.uint64(7)
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    rem = v.copy()
+    idx = starts.copy()
+    active = np.ones(v.size, dtype=bool)
+    while active.any():
+        byte = (rem & np.uint64(0x7F)).astype(np.uint8)
+        rem >>= np.uint64(7)
+        more = rem > 0
+        sel = active
+        out[idx[sel]] = byte[sel] | (more[sel].astype(np.uint8) << 7)
+        idx[sel] += 1
+        active = sel & more
+    return out.tobytes()
+
+
+def varbyte_decode(buf: bytes) -> np.ndarray:
+    """Vectorized LEB128 decode → uint64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = (b & 0x80) == 0
+    # group id per byte: 0-based index of the value the byte belongs to
+    group = np.zeros(b.size, dtype=np.int64)
+    group[1:] = np.cumsum(is_last)[:-1]
+    starts = np.flatnonzero(np.diff(group, prepend=-1))
+    # byte offset within its group
+    within = np.arange(b.size, dtype=np.int64) - starts[group]
+    contrib = (b & 0x7F).astype(np.uint64) << (np.uint64(7) * within.astype(np.uint64))
+    return np.add.reduceat(contrib, starts)
+
+
+def delta_encode(sorted_ids: np.ndarray) -> bytes:
+    """Delta + varbyte encode a strictly-increasing int64 array."""
+    a = np.asarray(sorted_ids, dtype=np.int64)
+    if a.size == 0:
+        return b""
+    deltas = np.empty(a.size, dtype=np.uint64)
+    deltas[0] = np.uint64(a[0])
+    deltas[1:] = np.diff(a).astype(np.uint64)
+    return varbyte_encode(deltas)
+
+
+def delta_decode(buf: bytes) -> np.ndarray:
+    deltas = varbyte_decode(buf)
+    if deltas.size == 0:
+        return np.empty(0, dtype=np.int64)
+    return np.cumsum(deltas.astype(np.int64))
+
+
+def encode_positions(positions_per_doc: list) -> bytes:
+    """Encode a block's per-doc position lists as one payload.
+
+    Layout per doc: varbyte(count), then varbyte(delta(positions)).
+    All docs' payloads are concatenated into a flat stream; the value
+    stream is [n0, d0_0.., n1, d1_0..] which vectorizes as one varbyte
+    pass over a single concatenated array.
+    """
+    parts = []
+    for pos in positions_per_doc:
+        p = np.asarray(pos, dtype=np.int64)
+        d = np.empty(p.size + 1, dtype=np.uint64)
+        d[0] = p.size
+        if p.size:
+            d[1] = np.uint64(p[0])
+            d[2:] = np.diff(p).astype(np.uint64)
+        parts.append(d)
+    if not parts:
+        return b""
+    return varbyte_encode(np.concatenate(parts))
+
+
+def decode_positions(buf: bytes, n_docs: int) -> list:
+    """Inverse of :func:`encode_positions` → list of int64 arrays."""
+    flat = varbyte_decode(buf).astype(np.int64)
+    out = []
+    i = 0
+    for _ in range(n_docs):
+        n = int(flat[i])
+        i += 1
+        out.append(np.cumsum(flat[i : i + n]))
+        i += n
+    return out

@@ -1,0 +1,58 @@
+"""Stable dense docID assignment.
+
+Re-expresses the reference's monotonic doc-seq allocation
+(``/root/reference/src/index.rs:146-155``) as a distributed,
+parallelism-invariant numbering: docID = global rank of ``url`` under
+its total order. Implementation is the classic two-pass scheme —
+range-partition by url, sort within partitions, count rows per
+partition, prefix-sum the counts driver-side (P integers only), then
+number each partition with its offset inside a ``mapInPandas``. No
+window-over-single-partition, no ``monotonically_increasing_id`` (which
+is partitioning-dependent), so IDs are identical at local[8] and
+local[32] — the determinism requirement for rank-identity (SURVEY.md §7
+risks).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark import StorageLevel, TaskContext
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def assign_doc_ids(pages: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Return ``pages`` with an added dense ``doc_id`` column (rank of url)."""
+    spark = pages.sparkSession
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism * 2
+
+    ordered = pages.repartitionByRange(partitions, "url").sortWithinPartitions("url")
+    ordered.persist(StorageLevel.MEMORY_AND_DISK)
+
+    counts = (
+        ordered.select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    offsets = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["pid"]):
+        offsets[row["pid"]] = acc
+        acc += row["count"]
+    b_offsets = spark.sparkContext.broadcast(offsets)
+
+    out_schema = T.StructType(ordered.schema.fields + [T.StructField("doc_id", T.LongType(), False)])
+
+    def number(iterator):
+        pid = TaskContext.get().partitionId()
+        n = b_offsets.value.get(pid, 0)
+        for pdf in iterator:
+            pdf = pdf.copy()
+            pdf["doc_id"] = np.arange(n, n + len(pdf), dtype=np.int64)
+            n += len(pdf)
+            yield pdf
+
+    return ordered.mapInPandas(number, schema=out_schema)

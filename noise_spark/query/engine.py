@@ -1,0 +1,257 @@
+"""Spark query engine: BM25 top-k + boolean/phrase/proximity retrieval.
+
+Lowering strategy (SURVEY.md §2.3/§3.2): the plan AST becomes DataFrame
+operations —
+
+- term postings scan  → parquet read filtered by ``term`` (predicate
+  pushdown + dictionary/min-max pruning; segments additionally prune by
+  the deterministic term bucket partition)
+- AND                 → match-set inner joins (semi)
+- OR                  → match-set union
+- NOT                 → left_anti join
+- phrase / proximity  → per-doc position verification in an
+  Arrow-batched grouped-map UDF (positions payload decoded per doc)
+- scoring             → BM25 contributions as JVM-side column
+  expressions; per-doc summation in ASCENDING TERM ORDER via
+  ``aggregate(array_sort(collect_list(...)))`` so floating-point results
+  are bitwise-reproducible across partitionings and parallelism levels
+  (and bitwise-comparable to the pure-Python oracle)
+- top-k               → ``orderBy(score desc, doc_id asc).limit(k)``,
+  which Spark executes as TakeOrderedAndProject (per-partition top-k +
+  driver merge; the reference's incremental sort/merge buffer,
+  ``src/query.rs:511-553``)
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import BM25_B, BM25_K1
+from ..index.catalog import IndexCatalog
+from ..oracle.oracle import bm25_idf
+from . import plan as P
+
+
+class IndexReader:
+    """Reads a committed index snapshot and answers queries."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        k1: float = BM25_K1,
+        b: float = BM25_B,
+    ):
+        self.spark = spark
+        self.cat = IndexCatalog(index_dir)
+        self.k1, self.b = k1, b
+        row = spark.read.parquet(self.cat.stage_path("corpus_stats")).collect()[0]
+        self.n_docs = row["n_docs"]
+        self.avg_dl = row["avg_dl"]
+
+    # -- table access ---------------------------------------------------------
+    @property
+    def postings(self) -> DataFrame:
+        return self.spark.read.parquet(self.cat.stage_path("postings"))
+
+    @property
+    def docs(self) -> DataFrame:
+        return self.spark.read.parquet(self.cat.stage_path("docs"))
+
+    @property
+    def segments(self) -> DataFrame:
+        return self.spark.read.parquet(self.cat.stage_path("segments"))
+
+    def term_dfs(self, terms: list[str]) -> dict[str, int]:
+        if not terms:
+            return {}
+        rows = (
+            self.spark.read.parquet(self.cat.stage_path("term_stats"))
+            .filter(F.col("term").isin(list(terms)))
+            .collect()
+        )
+        return {r["term"]: r["df"] for r in rows}
+
+    def postings_for(self, terms: list[str], with_positions: bool = False) -> DataFrame:
+        cols = ["term", "doc_id", "tf", "dl"] + (["positions"] if with_positions else [])
+        return self.postings.filter(F.col("term").isin(list(terms))).select(*cols)
+
+    # -- match sets -------------------------------------------------------------
+    def _match_set(self, node: P.Node) -> DataFrame:
+        """DataFrame[doc_id] of matching documents."""
+        if isinstance(node, P.Term):
+            return self.postings_for([node.term]).select("doc_id")
+        if isinstance(node, P.Or):
+            kids = [c for c in node.children]
+            if all(isinstance(c, P.Term) for c in kids):
+                terms = [c.term for c in kids]
+                return self.postings_for(terms).select("doc_id").distinct()
+            out = self._match_set(kids[0])
+            for c in kids[1:]:
+                out = out.union(self._match_set(c))
+            return out.distinct()
+        if isinstance(node, P.And):
+            kids = list(node.children)
+            if all(isinstance(c, P.Term) for c in kids):
+                terms = sorted({c.term for c in kids})
+                # one scan + count == n  (re-expresses leapfrog intersection)
+                return (
+                    self.postings_for(terms)
+                    .groupBy("doc_id")
+                    .agg(F.count("*").alias("n"))
+                    .filter(F.col("n") == len(terms))
+                    .select("doc_id")
+                )
+            out = self._match_set(kids[0])
+            for c in kids[1:]:
+                out = out.join(self._match_set(c), "doc_id", "left_semi")
+            return out
+        if isinstance(node, P.Not):
+            pos = self._match_set(node.positive)
+            neg = self._match_set(node.negative)
+            return pos.join(neg, "doc_id", "left_anti")
+        if isinstance(node, P.Phrase):
+            return self._positional_match(list(node.terms), phrase=True)
+        if isinstance(node, P.Proximity):
+            return self._positional_match(list(node.terms), phrase=False, window=node.window)
+        if isinstance(node, P.ExactMatch):
+            return self.docs.filter(F.col("text") == node.literal).select("doc_id")
+        raise TypeError(type(node))
+
+    def _positional_match(self, terms: list[str], phrase: bool, window: int = 0) -> DataFrame:
+        """Docs where ``terms`` occur consecutively (phrase) or within an
+        N-word window (proximity). Candidate docs (containing all terms)
+        are found relationally; position verification is one Arrow-batched
+        grouped-map over the per-doc position lists."""
+        n_terms = len(set(terms))
+        posts = self.postings_for(sorted(set(terms)), with_positions=True)
+        grouped = (
+            posts.groupBy("doc_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.map_from_entries(
+                    F.collect_list(F.struct("term", "positions"))
+                ).alias("posmap"),
+            )
+            .filter(F.col("n") == n_terms)
+        )
+        ordered_terms = list(terms)
+        w = window
+
+        def verify(iterator):
+            for pdf in iterator:
+                keep = []
+                for doc_id, posmap in zip(pdf["doc_id"], pdf["posmap"]):
+                    lists = [posmap[t] for t in ordered_terms]
+                    if phrase:
+                        cand = list(lists[0])
+                        ok = False
+                        for i, pl in enumerate(lists[1:], start=1):
+                            s = set(pl)
+                            cand = [p for p in cand if p + i in s]
+                            if not cand:
+                                break
+                        ok = bool(cand)
+                    else:
+                        events = sorted(
+                            (p, i) for i, pl in enumerate(lists) for p in pl
+                        )
+                        k = len(lists)
+                        need: dict[int, int] = {}
+                        have = 0
+                        lo = 0
+                        ok = False
+                        for hi in range(len(events)):
+                            ti = events[hi][1]
+                            need[ti] = need.get(ti, 0) + 1
+                            if need[ti] == 1:
+                                have += 1
+                            while have == k and not ok:
+                                if events[hi][0] - events[lo][0] <= w:
+                                    ok = True
+                                    break
+                                tlo = events[lo][1]
+                                need[tlo] -= 1
+                                if need[tlo] == 0:
+                                    have -= 1
+                                lo += 1
+                            if ok:
+                                break
+                    if ok:
+                        keep.append(doc_id)
+                yield pd.DataFrame({"doc_id": pd.Series(keep, dtype="int64")})
+
+        return grouped.mapInPandas(verify, schema=T.StructType([T.StructField("doc_id", T.LongType(), False)]))
+
+    # -- scoring -------------------------------------------------------------------
+    def _term_boosts(self, node: P.Node) -> dict[str, float]:
+        boosts: dict[str, float] = {}
+
+        def walk(n: P.Node, mult: float):
+            if isinstance(n, P.Term):
+                boosts[n.term] = mult * n.boost
+            elif isinstance(n, (P.Or, P.And)):
+                for c in n.children:
+                    walk(c, mult * n.boost)
+            elif isinstance(n, P.Not):
+                walk(n.positive, mult)
+            elif isinstance(n, (P.Phrase, P.Proximity)):
+                for t in n.terms:
+                    boosts[t] = mult * n.boost
+            elif isinstance(n, P.ExactMatch):
+                pass
+
+        walk(node, 1.0)
+        return boosts
+
+    def search(self, node: P.Node, k: int = 10) -> DataFrame:
+        """Top-k → DataFrame(doc_id, score) ordered by (score desc, doc_id)."""
+        if isinstance(node, P.ExactMatch):
+            return (
+                self._match_set(node)
+                .withColumn("score", F.lit(1.0))
+                .orderBy(F.asc("doc_id"))
+                .limit(k)
+            )
+        boosts = self._term_boosts(node)
+        terms = sorted(boosts)
+        dfs = self.term_dfs(terms)
+        weights = [
+            (t, bm25_idf(self.n_docs, dfs[t]) * boosts[t]) for t in terms if t in dfs
+        ]
+        if not weights:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        wdf = F.broadcast(self.spark.createDataFrame(weights, "term string, w double"))
+        k1, b, avg_dl = self.k1, self.b, self.avg_dl
+        # parenthesization mirrors oracle.bm25_tf_norm exactly:
+        # w * ((tf*(k1+1)) / (tf + k1*((1-b) + b*(dl/avgdl))))
+        contrib = F.col("w") * (
+            (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.lit(avg_dl)))
+            )
+        )
+        scored = (
+            self.postings_for([t for t, _ in weights])
+            .join(wdf, "term")
+            .withColumn("contrib", contrib)
+            .groupBy("doc_id")
+            .agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("term", "contrib"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["contrib"],
+                ).alias("score")
+            )
+        )
+        needs_filter = not (
+            isinstance(node, P.Or) and all(isinstance(c, P.Term) for c in node.children)
+        )
+        if needs_filter:
+            scored = scored.join(self._match_set(node), "doc_id", "left_semi")
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -1,0 +1,135 @@
+"""Query plan nodes — the re-expression of the reference's filter tree.
+
+The reference parses its find-clause directly into a physical
+``QueryRuntimeFilter`` tree (``/root/reference/src/parser.rs:1395-1398``,
+``src/filters.rs:19-29``). Here the plan is a small declarative AST the
+engine lowers onto DataFrame operations:
+
+- ``Term``       ← StemmedWordFilter   (src/filters.rs:82-130)
+- ``Or``         ← OrFilter            (src/filters.rs:811-942)
+- ``And``        ← AndFilter leapfrog  (src/filters.rs:728-809)
+- ``Not``        ← NotFilter           (src/filters.rs:944-1066)
+- ``Phrase``     ← StemmedPhraseFilter (src/filters.rs:175-272)
+- ``Proximity``  ← DistanceFilter      (src/filters.rs:588-726)
+- ``ExactMatch`` ← ExactMatchFilter    (src/filters.rs:274-377)
+- ``Boost``      ← BoostFilter         (src/filters.rs:1154-1195)
+
+Scoring is BM25 (k1=1.2, b=0.75) summed over matched terms; boolean
+filters shape the candidate set. Boost multiplies the subtree's score
+contributions, as in the reference.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List
+
+from ..analysis.tokenizer import analyze
+
+
+@dataclass(frozen=True)
+class Node:
+    pass
+
+
+@dataclass(frozen=True)
+class Term(Node):
+    term: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class Or(Node):
+    children: tuple
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class And(Node):
+    children: tuple
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class Not(Node):
+    positive: Node
+    negative: Node  # docs matching this are excluded
+
+
+@dataclass(frozen=True)
+class Phrase(Node):
+    terms: tuple
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class Proximity(Node):
+    terms: tuple
+    window: int
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class ExactMatch(Node):
+    literal: str
+
+
+def terms_of(node: Node) -> List[str]:
+    """All positive scoring terms of a plan (deduped, sorted)."""
+    out: set[str] = set()
+
+    def walk(n: Node, positive: bool):
+        if isinstance(n, Term):
+            if positive:
+                out.add(n.term)
+        elif isinstance(n, (Or, And)):
+            for c in n.children:
+                walk(c, positive)
+        elif isinstance(n, Not):
+            walk(n.positive, positive)
+        elif isinstance(n, (Phrase, Proximity)):
+            if positive:
+                out.update(n.terms)
+        elif isinstance(n, ExactMatch):
+            pass
+
+    walk(node, True)
+    return sorted(out)
+
+
+def negative_terms_of(node: Node) -> List[str]:
+    out: set[str] = set()
+
+    def walk(n: Node, negated: bool):
+        if isinstance(n, Term):
+            if negated:
+                out.add(n.term)
+        elif isinstance(n, (Or, And)):
+            for c in n.children:
+                walk(c, negated)
+        elif isinstance(n, Not):
+            walk(n.positive, negated)
+            walk(n.negative, not negated)
+        elif isinstance(n, (Phrase, Proximity)):
+            if negated:
+                out.update(n.terms)
+
+    walk(node, False)
+    return sorted(out)
+
+
+def parse_terms(text: str, analyzer: str = "porter") -> List[str]:
+    """Analyze query text with the same pinned tokenizer as the build."""
+    return [t for _, t in analyze(text, analyzer)]
+
+
+def or_query(text: str, analyzer: str = "porter") -> Or:
+    return Or(tuple(Term(t) for t in dict.fromkeys(parse_terms(text, analyzer))))
+
+
+def and_query(text: str, analyzer: str = "porter") -> And:
+    return And(tuple(Term(t) for t in dict.fromkeys(parse_terms(text, analyzer))))
+
+
+def phrase_query(text: str, analyzer: str = "porter") -> Phrase:
+    return Phrase(tuple(parse_terms(text, analyzer)))
