@@ -78,6 +78,7 @@ SEGMENTS_SCHEMA = T.StructType(
         T.StructField("last_doc", T.LongType(), False),
         T.StructField("docs", T.BinaryType(), False),
         T.StructField("tfs", T.BinaryType(), False),
+        T.StructField("dls", T.BinaryType(), False),
         T.StructField("positions", T.BinaryType(), False),
         T.StructField("max_tf_norm", T.DoubleType(), False),
         T.StructField("bucket", T.IntegerType(), False),
@@ -102,6 +103,10 @@ class BuildConfig:
     verify_extraction: bool = True
     bm25_k1: float = BM25_K1
     bm25_b: float = BM25_B
+    # If the input table already carries a stable unique docID column,
+    # name it here to skip the rank-over-url numbering shuffle entirely
+    # (a large scale win when ids pre-exist).
+    doc_id_col: str | None = None
     extra: dict = field(default_factory=dict)
 
 
@@ -181,6 +186,7 @@ def _make_block_builder(avg_dl: float, block_size: int, n_buckets: int, k1: floa
                     "last_doc": int(doc_ids[end - 1]),
                     "docs": codec.delta_encode(doc_ids[start:end]),
                     "tfs": codec.varbyte_encode(tfs[start:end].astype(np.uint64)),
+                    "dls": codec.varbyte_encode(dls[start:end].astype(np.uint64)),
                     "positions": codec.encode_positions(positions[start:end]),
                     "max_tf_norm": float(tf_norm[start:end].max()),
                     "bucket": bucket,
@@ -220,8 +226,25 @@ def build_index(
     # -- stage A: docs ------------------------------------------------------
     if not done("docs"):
         t0 = time.time()
-        numbered = assign_doc_ids(pages, partitions=cfg.partitions)
-        docs = numbered.mapInPandas(_extract_docs, schema=DOCS_SCHEMA)
+        cols = set(pages.columns)
+        if cfg.doc_id_col:
+            numbered = pages
+            if cfg.doc_id_col != "doc_id":
+                numbered = numbered.withColumnRenamed(cfg.doc_id_col, "doc_id")
+            numbered = numbered.withColumn("doc_id", F.col("doc_id").cast("long"))
+            if "url" not in cols:
+                numbered = numbered.withColumn(
+                    "url", F.format_string("doc:%012d", F.col("doc_id"))
+                )
+        else:
+            numbered = assign_doc_ids(pages, partitions=cfg.partitions)
+        for c, typ in (("warc_ts", "timestamp"), ("lang", "string")):
+            if c not in cols:
+                numbered = numbered.withColumn(c, F.lit(None).cast(typ))
+        if "html" in cols and cfg.verify_extraction:
+            docs = numbered.mapInPandas(_extract_docs, schema=DOCS_SCHEMA)
+        else:
+            docs = numbered.select("doc_id", "url", "warc_ts", "lang", "text")
         docs.write.mode("overwrite").parquet(cat.stage_path("docs"))
         commit("docs", {"seconds": time.time() - t0})
 

@@ -255,3 +255,76 @@ class IndexReader:
         if needs_filter:
             scored = scored.join(self._match_set(node), "doc_id", "left_semi")
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    # -- block-max WAND over compressed segments --------------------------------
+    def search_wand(self, node: P.Node, k: int = 10, n_bins: int | None = None) -> DataFrame:
+        """Top-k via distributed block-max WAND. Supports flat Or/And of
+        Terms (the scored-retrieval hot path); other plans fall back to
+        :meth:`search`. Rank-identical to the exhaustive path by
+        construction (exact per-bin top-k + global merge)."""
+        from ..index.build import term_bucket
+        from .wand import wand_bin
+
+        flat_or = isinstance(node, P.Or) and all(isinstance(c, P.Term) for c in node.children)
+        flat_and = isinstance(node, P.And) and all(isinstance(c, P.Term) for c in node.children)
+        if not (flat_or or flat_and):
+            return self.search(node, k)
+        mode = "and" if flat_and else "or"
+        boosts = self._term_boosts(node)
+        terms = sorted(boosts)
+        dfs = self.term_dfs(terms)
+        weights = {t: bm25_idf(self.n_docs, dfs[t]) * boosts[t] for t in terms if t in dfs}
+        if not weights or (mode == "and" and len(weights) < len(terms)):
+            return self.spark.createDataFrame([], "doc_id long, score double")
+
+        if n_bins is None:
+            n_bins = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        bin_width = max(1, -(-self.n_docs // n_bins))
+        buckets = sorted({term_bucket(t) for t in weights})
+
+        # partition-pruned scan: bucket prunes directories, term prunes
+        # row groups via dictionary/min-max
+        segs = (
+            self.segments.filter(
+                F.col("bucket").isin(buckets) & F.col("term").isin(list(weights))
+            )
+            .withColumn(
+                "bin",
+                F.explode(
+                    F.sequence(
+                        (F.col("first_doc") / F.lit(bin_width)).cast("int"),
+                        (F.col("last_doc") / F.lit(bin_width)).cast("int"),
+                    )
+                ),
+            )
+        )
+        w_map = dict(weights)
+        avg_dl, k1, b = self.avg_dl, self.k1, self.b
+        kk = k
+        bw = bin_width
+
+        def run_bin(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            (bin_id,) = key
+            lo, hi = bin_id * bw, (bin_id + 1) * bw
+            per_term: dict[str, tuple[float, list[dict]]] = {}
+            for row in pdf.itertuples(index=False):
+                d = row._asdict() if hasattr(row, "_asdict") else dict(row)
+                per_term.setdefault(d["term"], (w_map[d["term"]], []))[1].append(d)
+            for t in w_map:
+                per_term.setdefault(t, (w_map[t], []))
+            top = wand_bin(per_term, lo, hi, kk, avg_dl, k1, b, mode=mode)
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([d for d, _ in top], dtype="int64"),
+                    "score": pd.Series([s for _, s in top], dtype="float64"),
+                }
+            )
+
+        out_schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("score", T.DoubleType(), False),
+            ]
+        )
+        candidates = segs.groupBy("bin").applyInPandas(run_bin, schema=out_schema)
+        return candidates.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -1,0 +1,221 @@
+"""Block-max WAND top-k over compressed segments.
+
+The distributed shape: the docID space is cut into range bins; every
+segment block (a contiguous docID range of one (term, salt)) is routed
+to the bins it overlaps; each bin runs single-threaded block-max WAND
+across its terms' block lists and emits an exact local top-k; a global
+``TakeOrdered(k)`` merges bin candidates. Per-bin exact top-k → global
+merge is rank-exact, so WAND is provably rank-identical to the
+exhaustive path (asserted in tests).
+
+Inside a bin this is textbook BMW (Broder et al. WAND + Ding/Suel
+block-max): pivot selection on term-level upper bounds, block-max
+refinement with shallow block seeks (skipped blocks are never decoded),
+and full evaluation summing BM25 contributions in ascending term order —
+the same bitwise-pinned float path as the exhaustive engine and oracle.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+from ..index import codec
+
+
+class _Cursor:
+    """Per-term cursor over that term's blocks within a bin."""
+
+    INF = np.iinfo(np.int64).max
+
+    def __init__(self, term: str, weight: float, blocks: list[dict], lo: int, hi: int, avg_dl: float, k1: float, b: float):
+        # blocks sorted by first_doc; ranges are disjoint per term
+        self.term = term
+        self.weight = weight
+        self.blocks = sorted(blocks, key=lambda r: r["first_doc"])
+        self.lo, self.hi = lo, hi
+        self.avg_dl, self.k1, self.b = avg_dl, k1, b
+        self.term_ub = weight * max(r["max_tf_norm"] for r in self.blocks)
+        self.bi = 0
+        self._docs: np.ndarray | None = None
+        self._contrib: np.ndarray | None = None
+        self._pos = 0
+        self._enter_block()
+
+    def _enter_block(self):
+        """Position at the first in-range doc of the current/next blocks;
+        decode lazily only when a block actually overlaps [lo, hi)."""
+        while self.bi < len(self.blocks):
+            blk = self.blocks[self.bi]
+            if blk["last_doc"] < self.lo:
+                self.bi += 1
+                continue
+            if blk["first_doc"] >= self.hi:
+                break
+            docs = codec.delta_decode(blk["docs"])
+            mask = (docs >= self.lo) & (docs < self.hi)
+            if not mask.any():
+                self.bi += 1
+                continue
+            tfs = codec.varbyte_decode(blk["tfs"]).astype(np.float64)
+            dls = codec.varbyte_decode(blk["dls"]).astype(np.float64)
+            k1, b = self.k1, self.b
+            tf_norm = (tfs * (k1 + 1.0)) / (tfs + k1 * ((1.0 - b) + b * (dls / self.avg_dl)))
+            self._docs = docs[mask]
+            self._contrib = (self.weight * tf_norm)[mask]
+            self._pos = 0
+            return
+        self._docs = None
+
+    @property
+    def doc(self) -> int:
+        return int(self._docs[self._pos]) if self._docs is not None else self.INF
+
+    @property
+    def contrib(self) -> float:
+        return float(self._contrib[self._pos])
+
+    def block_ub(self, d: int) -> float:
+        """Shallow block-max at doc d: UB of the block that would contain
+        d, without decoding (uses stored block metadata only)."""
+        bi = self.bi
+        while bi < len(self.blocks) and self.blocks[bi]["last_doc"] < d:
+            bi += 1
+        if bi >= len(self.blocks) or self.blocks[bi]["first_doc"] >= self.hi:
+            return 0.0
+        return self.weight * self.blocks[bi]["max_tf_norm"]
+
+    def block_last(self, d: int) -> int:
+        """last_doc of the block that would contain d (for BMW skips)."""
+        bi = self.bi
+        while bi < len(self.blocks) and self.blocks[bi]["last_doc"] < d:
+            bi += 1
+        if bi >= len(self.blocks):
+            return self.INF
+        return int(self.blocks[bi]["last_doc"])
+
+    def next_geq(self, d: int):
+        if self._docs is None:
+            return
+        if self._docs[-1] < d:
+            # skip whole decoded block; advance over undecoded blocks by bounds
+            self.bi += 1
+            while self.bi < len(self.blocks) and self.blocks[self.bi]["last_doc"] < d:
+                self.bi += 1
+            self._enter_block()
+            if self._docs is None:
+                return
+        self._pos += int(np.searchsorted(self._docs[self._pos :], d, side="left"))
+        if self._pos >= len(self._docs):
+            self.bi += 1
+            self._enter_block()
+
+
+def wand_bin(
+    term_blocks: dict[str, tuple[float, list[dict]]],
+    lo: int,
+    hi: int,
+    k: int,
+    avg_dl: float,
+    k1: float,
+    b: float,
+    mode: str = "or",
+    theta0: float = 0.0,
+) -> list[tuple[int, float]]:
+    """Exact top-k of docs in [lo, hi) for the given terms.
+
+    ``term_blocks``: term → (weight, block rows). ``mode='and'`` requires
+    all terms present. Returns [(doc_id, score)] sorted (-score, doc).
+    """
+    cursors = [
+        _Cursor(t, w, blocks, lo, hi, avg_dl, k1, b)
+        for t, (w, blocks) in term_blocks.items()
+        if blocks
+    ]
+    n_terms_required = len(term_blocks) if mode == "and" else 1
+    if len(cursors) < n_terms_required:
+        return []
+    # min-heap of (score, -doc_id); θ = weakest retained candidate
+    heap: list[tuple[float, int]] = []
+    theta = theta0
+
+    while True:
+        cursors.sort(key=lambda c: c.doc)
+        if cursors[0].doc == _Cursor.INF:
+            break
+        if mode == "and":
+            pivot_idx = len(cursors) - 1
+            if cursors[pivot_idx].doc == _Cursor.INF:
+                break
+        else:
+            # WAND pivot: smallest prefix whose term-UB sum reaches θ.
+            # `>=` (not `>`): a doc scoring exactly θ with a smaller docID
+            # still wins the tie-break, so it must be evaluated.
+            acc = 0.0
+            pivot_idx = -1
+            for i, c in enumerate(cursors):
+                if c.doc == _Cursor.INF:
+                    break
+                acc += c.term_ub
+                if len(heap) < k or acc >= theta:
+                    pivot_idx = i
+                    break
+            if pivot_idx < 0:
+                break
+        pivot_doc = cursors[pivot_idx].doc
+        if pivot_doc == _Cursor.INF:
+            break
+
+        if mode == "and" and cursors[0].doc != pivot_doc:
+            # advance laggards to the pivot
+            for c in cursors:
+                if c.doc < pivot_doc:
+                    c.next_geq(pivot_doc)
+            continue
+
+        if cursors[0].doc == pivot_doc:
+            # block-max refinement: Σ block UBs at pivot must reach θ
+            # (skip only on strict <, for the same tie-break safety)
+            bub = 0.0
+            for c in cursors[: pivot_idx + 1]:
+                bub += c.block_ub(pivot_doc)
+            if len(heap) >= k and bub < theta:
+                # BMW skip: jump past the smallest block boundary
+                d_skip = min(c.block_last(pivot_doc) for c in cursors[: pivot_idx + 1]) + 1
+                for c in cursors[: pivot_idx + 1]:
+                    if c.doc < d_skip:
+                        c.next_geq(d_skip)
+                continue
+            # full evaluation — ascending term order (bitwise-pinned)
+            parts = sorted(
+                (c.term, c.contrib) for c in cursors if c.doc == pivot_doc
+            )
+            if mode == "and" and len(parts) < len(term_blocks):
+                for c in cursors:
+                    if c.doc == pivot_doc:
+                        c.next_geq(pivot_doc + 1)
+                continue
+            score = 0.0
+            for _, x in parts:
+                score = score + x
+            cand = (score, -pivot_doc)
+            if len(heap) < k:
+                heapq.heappush(heap, cand)
+            elif cand > heap[0]:
+                heapq.heapreplace(heap, cand)
+            if len(heap) >= k:
+                theta = heap[0][0]
+            for c in cursors:
+                if c.doc == pivot_doc:
+                    c.next_geq(pivot_doc + 1)
+        else:
+            # advance one of the leading cursors to the pivot
+            for c in cursors:
+                if c.doc < pivot_doc:
+                    c.next_geq(pivot_doc)
+                    break
+
+    out = [(-nd, s) for s, nd in heap]
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out

@@ -1,0 +1,77 @@
+"""Checkpoint/resume: a build killed between stage commits resumes from
+the last committed snapshot without recomputing committed stages, and
+the final index is identical to an uninterrupted build."""
+
+import os
+
+import pytest
+
+from noise_spark.corpus import generate_pages
+from noise_spark.index.build import BuildConfig, build_index
+from noise_spark.index.catalog import IndexCatalog
+
+
+def _stage_mtimes(idx_dir, stage):
+    root = os.path.join(idx_dir, stage)
+    out = {}
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            out[os.path.relpath(p, root)] = os.path.getmtime(p)
+    return out
+
+
+def test_resume_after_crash(spark, tmp_path):
+    idx_dir = str(tmp_path / "idx")
+    pages = generate_pages(spark, 300, seed=42, partitions=4)
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_index(spark, pages, idx_dir, BuildConfig(), fail_after_stage="postings")
+
+    cat = IndexCatalog(idx_dir)
+    assert cat.stage_complete("docs")
+    assert cat.stage_complete("postings")
+    assert not cat.stage_complete("term_stats")
+    assert not cat.stage_complete("segments")
+
+    docs_before = _stage_mtimes(idx_dir, "docs")
+    postings_before = _stage_mtimes(idx_dir, "postings")
+
+    metrics = build_index(spark, pages, idx_dir, BuildConfig())
+    # committed stages were skipped, not recomputed
+    assert metrics["stages"]["docs"].get("skipped") is True
+    assert metrics["stages"]["postings"].get("skipped") is True
+    assert _stage_mtimes(idx_dir, "docs") == docs_before
+    assert _stage_mtimes(idx_dir, "postings") == postings_before
+    assert cat.stage_complete("segments")
+
+    # resumed index == uninterrupted build
+    idx2 = str(tmp_path / "idx2")
+    build_index(spark, generate_pages(spark, 300, seed=42, partitions=4), idx2, BuildConfig())
+    a = spark.read.parquet(os.path.join(idx_dir, "term_stats")).orderBy("term").collect()
+    b = spark.read.parquet(os.path.join(idx2, "term_stats")).orderBy("term").collect()
+    assert a == b
+
+
+def test_lineage_rows_recorded(spark, small_index):
+    idx_dir, _ = small_index
+    cat = IndexCatalog(idx_dir)
+    for stage in ("docs", "postings", "term_stats", "corpus_stats", "segments"):
+        info = cat.stage_info(stage)
+        assert info is not None, stage
+        assert info["rows"] > 0
+        assert len(info["lineage"]) >= 1
+        for row in info["lineage"]:
+            assert row["rows"] >= 0 and row["bytes"] > 0 and row["checksum"]
+
+
+def test_docid_stability_across_parallelism(spark, tmp_path):
+    """docIDs must be identical regardless of partitioning (the
+    determinism requirement for rank-identity across cluster sizes)."""
+    from noise_spark.index.docids import assign_doc_ids
+
+    p1 = generate_pages(spark, 500, seed=42, partitions=2)
+    p2 = generate_pages(spark, 500, seed=42, partitions=16)
+    a = {r["url"]: r["doc_id"] for r in assign_doc_ids(p1, partitions=3).select("url", "doc_id").collect()}
+    b = {r["url"]: r["doc_id"] for r in assign_doc_ids(p2, partitions=11).select("url", "doc_id").collect()}
+    assert a == b

@@ -1,0 +1,84 @@
+"""WAND must be provably rank-identical to the exhaustive path (and so
+to the oracle) — SURVEY.md §7 step 8."""
+
+import numpy as np
+import pytest
+
+from noise_spark.index import codec
+from noise_spark.query import IndexReader
+from noise_spark.query import plan as P
+from noise_spark.query.wand import wand_bin
+
+
+@pytest.fixture(scope="module")
+def reader(spark, small_index):
+    idx_dir, _ = small_index
+    return IndexReader(spark, idx_dir)
+
+
+WAND_QUERIES = {
+    "single_head": P.Or((P.Term("w00000"),)),
+    "or_2": P.Or((P.Term("w00050"), P.Term("w01500"))),
+    "or_3": P.Or((P.Term("w00000"), P.Term("w00123"), P.Term("w00007"))),
+    "or_boost": P.Or((P.Term("w00050", boost=2.0), P.Term("w00007"))),
+    "and_2": P.And((P.Term("w00050"), P.Term("w00007"))),
+    "and_3": P.And((P.Term("w00000"), P.Term("w00002"), P.Term("w00010"))),
+    "or_missing_term": P.Or((P.Term("w00050"), P.Term("zzz_not_there"))),
+}
+
+
+@pytest.mark.parametrize("name", sorted(WAND_QUERIES))
+@pytest.mark.parametrize("n_bins", [1, 7])
+def test_wand_rank_identical_to_exhaustive(name, n_bins, reader):
+    node = WAND_QUERIES[name]
+    exhaustive = [(r["doc_id"], r["score"]) for r in reader.search(node, k=10).collect()]
+    wand = [(r["doc_id"], r["score"]) for r in reader.search_wand(node, k=10, n_bins=n_bins).collect()]
+    assert wand == exhaustive, f"{name} (bins={n_bins})"
+
+
+def test_wand_bin_unit_pruning():
+    """Unit-level: wand_bin on hand-built blocks matches brute force and
+    never misses a tie at the threshold."""
+    rng = np.random.default_rng(7)
+    n_docs = 2000
+    avg_dl, k1, b = 100.0, 1.2, 0.75
+
+    def make_blocks(doc_ids, tfs, dls, block=64):
+        rows = []
+        tfs = np.asarray(tfs, dtype=np.float64)
+        dls_arr = np.asarray(dls, dtype=np.float64)
+        tf_norm = (tfs * (k1 + 1.0)) / (tfs + k1 * ((1.0 - b) + b * (dls_arr / avg_dl)))
+        for i, s in enumerate(range(0, len(doc_ids), block)):
+            e = min(s + block, len(doc_ids))
+            rows.append(
+                {
+                    "first_doc": int(doc_ids[s]),
+                    "last_doc": int(doc_ids[e - 1]),
+                    "docs": codec.delta_encode(np.asarray(doc_ids[s:e])),
+                    "tfs": codec.varbyte_encode(np.asarray(tfs[s:e], dtype=np.uint64)),
+                    "dls": codec.varbyte_encode(np.asarray(dls[s:e], dtype=np.uint64)),
+                    "max_tf_norm": float(tf_norm[s:e].max()),
+                }
+            )
+        return rows
+
+    terms = {}
+    truth: dict[int, float] = {}
+    for t, (density, w) in {
+        "a": (0.5, 0.3),
+        "b": (0.2, 1.1),
+        "c": (0.05, 2.7),
+    }.items():
+        ids = np.sort(rng.choice(n_docs, size=int(n_docs * density), replace=False))
+        tfs = rng.integers(1, 8, size=ids.size)
+        dls = rng.integers(50, 200, size=ids.size)
+        terms[t] = (w, make_blocks(ids, tfs, dls))
+        tfn = (tfs * (k1 + 1.0)) / (tfs + k1 * ((1.0 - b) + b * (dls.astype(np.float64) / avg_dl)))
+        for d, x in zip(ids.tolist(), (w * tfn).tolist()):
+            truth[d] = truth.get(d, 0.0) + x
+
+    want = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = wand_bin(terms, 0, n_docs, 10, avg_dl, k1, b, mode="or")
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-12)
