@@ -1,0 +1,759 @@
+"""Driver-contract queries: Spark implementations + DuckDB oracle SQL.
+
+Each entry exercises one operator family from SURVEY.md §2 over the
+driver's parquet tables (``documents`` for the fulltext engine,
+TPC-H-ish tables for the relational surface, ``embeddings``/``events``
+for the data-pipeline ops). The Spark side and the SQL side alias
+every computed column identically; floats are rounded on both sides so
+the driver's order-insensitive value-hash is stable.
+
+Fulltext queries run through the real engine (index build → committed
+snapshot → query), using the ``whitespace`` analyzer because it is
+exactly expressible in ANSI SQL (``string_split(text, ' ')``) — which
+makes DuckDB a true independent oracle for the whole index+BM25 path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .index.build import BuildConfig, build_index
+from .index.catalog import IndexCatalog
+from .query import plan as P
+from .query.engine import IndexReader
+
+INDEX_FORMAT_VERSION = "v2"  # bump to invalidate cached on-disk indexes
+K1, B = 1.2, 0.75
+
+_READERS: dict[str, IndexReader] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def doc_index(spark: SparkSession, sf_dir: str) -> IndexReader:
+    """Build (or reuse the committed snapshot of) the fulltext index over
+    ``documents``; cached on disk keyed by sf_dir + format version."""
+    key = os.path.abspath(sf_dir)
+    if key in _READERS:
+        return _READERS[key]
+    tag = hashlib.md5(f"{key}:{INDEX_FORMAT_VERSION}".encode()).hexdigest()[:10]
+    idx_dir = os.path.join(tempfile.gettempdir(), f"noise_spark_docidx_{tag}")
+    cat = IndexCatalog(idx_dir)
+    if not cat.stage_complete("segments"):
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+        build_index(
+            spark,
+            docs,
+            idx_dir,
+            BuildConfig(analyzer="whitespace", doc_id_col="doc_id", block_size=128),
+        )
+    reader = IndexReader(spark, idx_dir)
+    _READERS[key] = reader
+    return reader
+
+
+# ---------------------------------------------------------------------------
+# fulltext oracle SQL building blocks
+# ---------------------------------------------------------------------------
+
+_TOK = "SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents"
+_TOKPOS = (
+    "SELECT doc_id, unnest(string_split(text, ' ')) AS term, "
+    "generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents"
+)
+
+
+def _bm25_sql(
+    terms: list[str],
+    boosts: dict[str, float] | None = None,
+    require_all: bool = False,
+    exclude_terms: list[str] | None = None,
+    k: int = 10,
+) -> str:
+    boosts = boosts or {}
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    boost_expr = "1.0"
+    if boosts:
+        cases = " ".join(
+            f"WHEN tf.term = '{t}' THEN {b!r}" for t, b in boosts.items()
+        )
+        boost_expr = f"(CASE {cases} ELSE 1.0 END)"
+    having = f"HAVING count(*) = {len(terms)}" if require_all else ""
+    not_clause = ""
+    if exclude_terms:
+        nlist = ", ".join(f"'{t}'" for t in exclude_terms)
+        not_clause = (
+            f"AND doc_id NOT IN (SELECT DISTINCT doc_id FROM tok WHERE term IN ({nlist}))"
+        )
+    return f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+              (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avg_dl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok WHERE term IN ({tlist}) GROUP BY doc_id, term),
+dfv AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1.0 + (st.n_docs - dfv.df + 0.5) / (dfv.df + 0.5)) * {boost_expr}
+         * (tf.tf * ({K1} + 1.0))
+         / (tf.tf + {K1} * ((1.0 - {B}) + {B} * (dl.dl::DOUBLE / st.avg_dl))) AS c
+  FROM tf JOIN dfv USING (term) JOIN dl USING (doc_id), st
+),
+scores AS (
+  SELECT doc_id, sum(c) AS score, count(*) AS nt FROM contrib GROUP BY doc_id {having}
+)
+SELECT doc_id, round(score, 6) AS score
+FROM scores
+WHERE 1=1 {not_clause}
+ORDER BY score DESC, doc_id
+LIMIT {k}
+"""
+
+
+def _topk_df(df: DataFrame) -> DataFrame:
+    return df.select("doc_id", F.round("score", 6).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# query registry: name -> (spark_fn, oracle_sql | None)
+# ---------------------------------------------------------------------------
+
+REGISTRY: dict[str, tuple] = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+# ---- fulltext engine queries (documents) -----------------------------------
+
+@q("ft_single_term_topk", _bm25_sql(["dup"]))
+def ft_single_term_topk(spark, sf_dir):
+    r = doc_index(spark, sf_dir)
+    return _topk_df(r.search(P.Or((P.Term("dup"),)), k=10))
+
+
+@q("ft_or_topk_wand", _bm25_sql(["dup", "slow", "merge"]))
+def ft_or_topk_wand(spark, sf_dir):
+    # exercised through the block-max WAND path over compressed segments
+    r = doc_index(spark, sf_dir)
+    return _topk_df(
+        r.search_wand(P.Or((P.Term("dup"), P.Term("slow"), P.Term("merge"))), k=10)
+    )
+
+
+@q("ft_and_topk", _bm25_sql(["dup", "fast"], require_all=True))
+def ft_and_topk(spark, sf_dir):
+    r = doc_index(spark, sf_dir)
+    return _topk_df(r.search(P.And((P.Term("dup"), P.Term("fast"))), k=10))
+
+
+@q("ft_not_topk", _bm25_sql(["dup"], exclude_terms=["slow"]))
+def ft_not_topk(spark, sf_dir):
+    r = doc_index(spark, sf_dir)
+    return _topk_df(r.search(P.Not(P.Term("dup"), P.Term("slow")), k=10))
+
+
+@q("ft_boost_topk", _bm25_sql(["dup", "slow"], boosts={"dup": 2.0}))
+def ft_boost_topk(spark, sf_dir):
+    r = doc_index(spark, sf_dir)
+    return _topk_df(r.search(P.Or((P.Term("dup", boost=2.0), P.Term("slow"))), k=10))
+
+
+@q(
+    "ft_phrase_match",
+    f"""
+WITH tok AS ({_TOKPOS})
+SELECT DISTINCT a.doc_id FROM tok a JOIN tok b USING (doc_id)
+WHERE a.term = 'hash' AND b.term = 'join' AND b.pos = a.pos + 1
+ORDER BY doc_id
+""",
+)
+def ft_phrase_match(spark, sf_dir):
+    r = doc_index(spark, sf_dir)
+    return r._positional_match(["hash", "join"], phrase=True).orderBy("doc_id")
+
+
+@q(
+    "ft_proximity_match",
+    f"""
+WITH tok AS ({_TOKPOS})
+SELECT DISTINCT a.doc_id FROM tok a JOIN tok b USING (doc_id)
+WHERE a.term = 'dup' AND b.term = 'big' AND abs(b.pos - a.pos) <= 3
+ORDER BY doc_id
+""",
+)
+def ft_proximity_match(spark, sf_dir):
+    r = doc_index(spark, sf_dir)
+    return r._positional_match(["dup", "big"], phrase=False, window=3).orderBy("doc_id")
+
+
+@q(
+    "ft_term_stats",
+    f"""
+WITH tok AS ({_TOK})
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+FROM tok GROUP BY term ORDER BY term
+""",
+)
+def ft_term_stats(spark, sf_dir):
+    r = doc_index(spark, sf_dir)
+    return (
+        r.spark.read.parquet(r.cat.stage_path("term_stats"))
+        .select("term", "df", "cf")
+        .orderBy("term")
+    )
+
+
+@q(
+    "ft_corpus_stats",
+    f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id)
+SELECT (SELECT count(*) FROM documents) AS n_docs,
+       (SELECT sum(dl) FROM dl) AS total_tokens,
+       round((SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents), 6) AS avg_dl
+""",
+)
+def ft_corpus_stats(spark, sf_dir):
+    r = doc_index(spark, sf_dir)
+    return r.spark.read.parquet(r.cat.stage_path("corpus_stats")).select(
+        "n_docs", "total_tokens", F.round("avg_dl", 6).alias("avg_dl")
+    )
+
+
+@q(
+    "ft_top_terms",
+    f"""
+WITH tok AS ({_TOK})
+SELECT term, count(*) AS cf FROM tok GROUP BY term
+ORDER BY cf DESC, term LIMIT 15
+""",
+)
+def ft_top_terms(spark, sf_dir):
+    r = doc_index(spark, sf_dir)
+    return (
+        r.spark.read.parquet(r.cat.stage_path("term_stats"))
+        .select("term", "cf")
+        .orderBy(F.desc("cf"), "term")
+        .limit(15)
+    )
+
+
+@q(
+    "ft_doc_lengths",
+    "SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents ORDER BY doc_id",
+)
+def ft_doc_lengths(spark, sf_dir):
+    r = doc_index(spark, sf_dir)
+    return (
+        r.postings.groupBy("doc_id")
+        .agg(F.first("dl").cast("long").alias("dl"))
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "ft_exact_match",
+    """
+SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM documents
+WHERE text = (SELECT text FROM documents WHERE doc_id = 7)
+ORDER BY doc_id
+""",
+)
+def ft_exact_match(spark, sf_dir):
+    r = doc_index(spark, sf_dir)
+    lit = r.docs.filter(F.col("doc_id") == 7).collect()[0]["text"]
+    return r.search(P.ExactMatch(lit), k=100)
+
+
+# ---- relational operator surface (TPC-H-ish tables) -------------------------
+
+@q(
+    "rel_group_agg",
+    """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_price,
+       round(min(l_discount), 6) AS min_disc,
+       round(max(l_tax), 6) AS max_tax
+FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+""",
+)
+def rel_group_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_price"),
+            F.round(F.min("l_discount"), 6).alias("min_disc"),
+            F.round(F.max("l_tax"), 6).alias("max_tax"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@q(
+    "rel_global_agg",
+    """
+SELECT count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_price
+FROM orders
+""",
+)
+def rel_global_agg(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("sum_price"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double") / F.count("*"),
+            6,
+        ).alias("avg_price"),
+    )
+
+
+@q(
+    "rel_concat_agg",
+    """
+SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
+FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+""",
+)
+def rel_concat_agg(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    return (
+        n.groupBy("n_regionkey")
+        .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("names"))
+        .orderBy("n_regionkey")
+    )
+
+
+@q(
+    "rel_range_filter",
+    """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+WHERE l_quantity > 30 AND l_quantity <= 45 AND l_shipdate < TIMESTAMP '1996-01-01'
+ORDER BY l_orderkey, l_linenumber
+""",
+)
+def rel_range_filter(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_quantity") > 30)
+            & (F.col("l_quantity") <= 45)
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@q(
+    "rel_order_limit",
+    """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+""",
+)
+def rel_order_limit(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+@q(
+    "rel_anti_join",
+    """
+SELECT c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+ORDER BY c_custkey
+""",
+)
+def rel_anti_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@q(
+    "rel_semi_join",
+    """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+ORDER BY c_custkey
+""",
+)
+def rel_semi_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@q(
+    "rel_bool_eq",
+    """
+SELECT o_orderstatus, count(*) AS n FROM orders
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+)
+def rel_bool_eq(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(F.count("*").alias("n")).orderBy("o_orderstatus")
+
+
+@q(
+    "rel_join_agg",
+    """
+SELECT n.n_name, count(*) AS n_cust,
+       round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_bal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name ORDER BY n.n_name
+""",
+)
+def rel_join_agg(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double"), 4).alias(
+                "sum_bal"
+            ),
+        )
+        .orderBy("n_name")
+    )
+
+
+@q(
+    "rel_window_first_event",
+    """
+SELECT user_id, event_id FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1 ORDER BY user_id
+""",
+)
+def rel_window_first_event(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id")
+        .orderBy("user_id")
+    )
+
+
+@q(
+    "rel_window_hourly",
+    """
+SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def rel_window_hourly(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+# ---- training-data pipeline ops ---------------------------------------------
+
+@q(
+    "dp_token_count",
+    "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents ORDER BY doc_id",
+)
+def dp_token_count(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.size(F.split("text", " ", -1)).cast("long").alias("n_tokens")
+    ).orderBy("doc_id")
+
+
+@q(
+    "dp_dedup_exact",
+    """
+SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keep_doc
+FROM documents GROUP BY md5(text) HAVING count(*) > 1 ORDER BY h
+""",
+)
+def dp_dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("h"))
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("keep_doc"))
+        .filter(F.col("n") > 1)
+        .orderBy("h")
+    )
+
+
+@q(
+    "dp_dedup_prefix_block",
+    """
+SELECT array_to_string(string_split(text, ' ')[1:3], ' ') AS block_key,
+       count(*) AS n, min(doc_id) AS keep_doc
+FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY block_key
+""",
+)
+def dp_dedup_prefix_block(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(
+            F.array_join(F.slice(F.split("text", " ", -1), 1, 3), " ").alias("block_key")
+        )
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("keep_doc"))
+        .filter(F.col("n") > 1)
+        .orderBy("block_key")
+    )
+
+
+@q(
+    "dp_quality",
+    """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct,
+       round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+             / len(string_split(text, ' ')), 6) AS distinct_ratio,
+       round((length(text) - len(string_split(text, ' ')) + 1)::DOUBLE
+             / len(string_split(text, ' ')), 6) AS mean_tok_len
+FROM documents ORDER BY doc_id
+""",
+)
+def dp_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ", -1)
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        nd.cast("long").alias("n_distinct"),
+        F.round(nd.cast("double") / n, 6).alias("distinct_ratio"),
+        F.round((F.length("text") - n + 1).cast("double") / n, 6).alias("mean_tok_len"),
+    ).orderBy("doc_id")
+
+
+@q(
+    "dp_langid",
+    """
+SELECT doc_id,
+       CASE WHEN list_contains(string_split(text, ' '), 'the') THEN 'en' ELSE 'xx' END AS pred_lang
+FROM documents ORDER BY doc_id
+""",
+)
+def dp_langid(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.when(F.array_contains(F.split("text", " ", -1), "the"), "en")
+        .otherwise("xx")
+        .alias("pred_lang"),
+    ).orderBy("doc_id")
+
+
+@q(
+    "dp_fingerprint",
+    """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+FROM documents ORDER BY doc_id
+""",
+)
+def dp_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.array_sort(F.array_distinct(F.split("text", " ", -1))), " ")
+        ).alias("fp"),
+    ).orderBy("doc_id")
+
+
+def _minhash_sql_expr(seed: int) -> str:
+    return (
+        f"min(CAST(concat('0x', substr(md5(concat(term, '|{seed}')), 1, 8)) AS BIGINT))"
+    )
+
+
+@q(
+    "dp_minhash",
+    f"""
+WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+SELECT doc_id,
+       {_minhash_sql_expr(0)} AS mh0,
+       {_minhash_sql_expr(1)} AS mh1,
+       {_minhash_sql_expr(2)} AS mh2,
+       {_minhash_sql_expr(3)} AS mh3
+FROM tok GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def dp_minhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " ", -1))).alias("term")
+    )
+
+    def mh(seed):
+        return F.min(
+            F.conv(F.substring(F.md5(F.concat(F.col("term"), F.lit(f"|{seed}"))), 1, 8), 16, 10).cast(
+                "long"
+            )
+        ).alias(f"mh{seed}")
+
+    return tok.groupBy("doc_id").agg(mh(0), mh(1), mh(2), mh(3)).orderBy("doc_id")
+
+
+@q(
+    "dp_minhash_lsh_buckets",
+    f"""
+WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+sig AS (
+  SELECT doc_id, {_minhash_sql_expr(0)} AS mh0, {_minhash_sql_expr(1)} AS mh1
+  FROM tok GROUP BY doc_id
+)
+SELECT mh0, mh1, count(*) AS n_docs, min(doc_id) AS min_doc
+FROM sig GROUP BY mh0, mh1 HAVING count(*) > 1 ORDER BY mh0, mh1
+""",
+)
+def dp_minhash_lsh_buckets(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " ", -1))).alias("term")
+    )
+
+    def mh(seed):
+        return F.min(
+            F.conv(F.substring(F.md5(F.concat(F.col("term"), F.lit(f"|{seed}"))), 1, 8), 16, 10).cast(
+                "long"
+            )
+        ).alias(f"mh{seed}")
+
+    sig = tok.groupBy("doc_id").agg(mh(0), mh(1))
+    return (
+        sig.groupBy("mh0", "mh1")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("mh0", "mh1")
+    )
+
+
+@q(
+    "dp_ann_cosine_topk",
+    """
+WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(
+         list_dot_product(CAST(embedding AS DOUBLE[]), (SELECT v FROM qv))
+         / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+            * sqrt(list_dot_product((SELECT v FROM qv), (SELECT v FROM qv)))), 4) AS sim
+FROM embeddings
+ORDER BY sim DESC, vec_id LIMIT 10
+""",
+)
+def dp_ann_cosine_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    qrow = e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    qlit = F.array(*[F.lit(float(x)) for x in qrow])
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+    sim = dot(emb, qlit) / (F.sqrt(dot(emb, emb)) * F.sqrt(dot(qlit, qlit)))
+    return (
+        e.select("vec_id", F.round(sim, 4).alias("sim"))
+        .orderBy(F.desc("sim"), "vec_id")
+        .limit(10)
+    )
+
+
+@q(
+    "dp_embed_label_centroid",
+    """
+SELECT label, count(*) AS n,
+       round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS dim0_mean
+FROM embeddings GROUP BY label ORDER BY label
+""",
+)
+def dp_embed_label_centroid(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(F.element_at("embedding", 1).cast("double")), 6).alias("dim0_mean"),
+        )
+        .orderBy("label")
+    )
+
+
+@q(
+    "mm_binary_meta",
+    """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes, n_chars
+FROM documents ORDER BY doc_id
+""",
+)
+def mm_binary_meta(spark, sf_dir):
+    # text treated as an opaque binary payload: the schema/partitioning
+    # plumbing for multimodal columns (decode itself is stubbed, see
+    # noise_spark.datapipe.multimodal)
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.octet_length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
+        "n_chars",
+    ).orderBy("doc_id")
+
+
+def queries():
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql():
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}

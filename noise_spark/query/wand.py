@@ -175,15 +175,25 @@ def wand_bin(
             continue
 
         if cursors[0].doc == pivot_doc:
+            # extend the prefix over cursors tied at pivot_doc (their UBs
+            # and contributions belong to this candidate too)
+            prefix_end = pivot_idx
+            while prefix_end + 1 < len(cursors) and cursors[prefix_end + 1].doc == pivot_doc:
+                prefix_end += 1
             # block-max refinement: Σ block UBs at pivot must reach θ
-            # (skip only on strict <, for the same tie-break safety)
+            # (skip only on strict <, for tie-break safety)
             bub = 0.0
-            for c in cursors[: pivot_idx + 1]:
+            for c in cursors[: prefix_end + 1]:
                 bub += c.block_ub(pivot_doc)
             if len(heap) >= k and bub < theta:
-                # BMW skip: jump past the smallest block boundary
-                d_skip = min(c.block_last(pivot_doc) for c in cursors[: pivot_idx + 1]) + 1
-                for c in cursors[: pivot_idx + 1]:
+                # BMW skip: jump past the smallest involved block boundary,
+                # but never past the next cursor's doc — a new term enters
+                # the candidate set there (Ding & Suel's GetNewCandidate)
+                d_skip = min(c.block_last(pivot_doc) for c in cursors[: prefix_end + 1]) + 1
+                if prefix_end + 1 < len(cursors):
+                    d_skip = min(d_skip, cursors[prefix_end + 1].doc)
+                d_skip = max(d_skip, pivot_doc + 1)
+                for c in cursors[: prefix_end + 1]:
                     if c.doc < d_skip:
                         c.next_geq(d_skip)
                 continue

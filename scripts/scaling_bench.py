@@ -1,0 +1,103 @@
+"""Scaling-efficiency evidence: the identical build job at local[8] and
+local[32] on the same pre-generated input (sandbox stand-in for N vs 4N
+executors; no real cluster available). Writes BENCH/BASELINE.md.
+
+Efficiency = (docs_per_sec[32] / docs_per_sec[8]) / 4; the north rule
+requires >= 0.8.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+
+from noise_spark.corpus import generate_pages
+from noise_spark.index.build import BuildConfig, build_index
+from noise_spark.query import IndexReader
+from noise_spark.query import plan as P
+from noise_spark.session import get_spark
+
+N_DOCS = int(os.environ.get("NOISE_SPARK_SCALE_DOCS", "50000"))
+SEED = 42
+LEVELS = [8, 32]
+
+
+def run_level(cpus: int, corpus: str) -> dict:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    spark = get_spark(f"scaling_{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    pages = spark.read.parquet(corpus)
+    idx_dir = f"/tmp/noise_spark_scaleidx_{cpus}_{os.getpid()}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    t0 = time.time()
+    build_index(spark, pages, idx_dir, BuildConfig(block_size=128))
+    build_sec = time.time() - t0
+    reader = IndexReader(spark, idx_dir)
+    qt0 = time.time()
+    for node in (
+        P.Or((P.Term("w00000"),)),
+        P.Or((P.Term("w00050"), P.Term("w01500"))),
+        P.And((P.Term("w00050"), P.Term("w00007"))),
+    ):
+        reader.search_wand(node, k=10).collect()
+    query_sec = time.time() - qt0
+    # sanity: docIDs stable across parallelism (rank-identity precondition)
+    top = [r["doc_id"] for r in reader.search(P.Or((P.Term("w00050"),)), k=5).collect()]
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    return {
+        "cpus": cpus,
+        "build_sec": round(build_sec, 2),
+        "docs_per_sec": round(N_DOCS / build_sec, 1),
+        "query_3_wand_sec": round(query_sec, 2),
+        "top5_w00050": top,
+    }
+
+
+def main():
+    spark = get_spark("scaling_gen", master="local[32]")
+    corpus = f"/tmp/noise_spark_bench/pages_{N_DOCS}_s{SEED}"
+    if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
+        generate_pages(spark, N_DOCS, seed=SEED, partitions=64).write.mode(
+            "overwrite"
+        ).parquet(corpus)
+
+    results = [run_level(c, corpus) for c in LEVELS]
+    tp = {r["cpus"]: r["docs_per_sec"] for r in results}
+    ratio = LEVELS[1] / LEVELS[0]
+    eff = (tp[LEVELS[1]] / tp[LEVELS[0]]) / ratio
+    rank_stable = results[0]["top5_w00050"] == results[1]["top5_w00050"]
+
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            f"""# BENCH/BASELINE — measured numbers
+
+Scaling evidence (north rule: >=0.8 efficiency from N to 4N): the
+identical build job (`build_index`, same input parquet of {N_DOCS:,}
+synthetic Common-Crawl-style docs, seed={SEED}) run at local[{LEVELS[0]}]
+and local[{LEVELS[1]}] — the sandbox stand-in for N vs 4N executors.
+
+| parallelism | build sec | docs/sec | 3 WAND queries sec |
+|---|---|---|---|
+| local[{LEVELS[0]}] | {results[0]['build_sec']} | {results[0]['docs_per_sec']} | {results[0]['query_3_wand_sec']} |
+| local[{LEVELS[1]}] | {results[1]['build_sec']} | {results[1]['docs_per_sec']} | {results[1]['query_3_wand_sec']} |
+
+- **Scaling efficiency ({LEVELS[0]}→{LEVELS[1]} cores): {eff:.3f}** (target >= 0.8)
+- Top-k docIDs identical across parallelism levels: {rank_stable}
+
+Raw: {json.dumps(results)}
+"""
+        )
+    print(json.dumps({"efficiency": round(eff, 3), "rank_stable": rank_stable, "levels": results}))
+
+
+if __name__ == "__main__":
+    main()
