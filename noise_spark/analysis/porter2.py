@@ -269,3 +269,19 @@ def stem(word: str) -> str:
             word = word[:-1]
 
     return word.replace("Y", "y")
+
+
+_CACHE: dict = {}
+_CACHE_MAX = 1_000_000
+
+
+def stem_cached(word: str) -> str:
+    """Memoized stem — web text is Zipf-distributed, so the hit rate is
+    near 1 after warm-up; bounded so a huge vocab can't exhaust memory."""
+    v = _CACHE.get(word)
+    if v is None:
+        if len(_CACHE) >= _CACHE_MAX:
+            _CACHE.clear()
+        v = stem(word)
+        _CACHE[word] = v
+    return v

@@ -61,7 +61,7 @@ def stems(text: str, stem: bool = True) -> List[Tuple[int, str]]:
         norm = unicodedata.normalize("NFKC", seg)
         if norm and norm[0].isalpha():
             low = norm.lower()
-            out.append((pos, porter2.stem(low) if stem else low))
+            out.append((pos, porter2.stem_cached(low) if stem else low))
             pos += 1
         elif pos == 0:
             non_alpha.append(norm)

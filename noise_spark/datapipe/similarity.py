@@ -1,0 +1,95 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  Dot products are JVM-side ``aggregate(zip_with(...))`` expressions
+  (no Python in the row path).
+- ``rp_lsh_buckets`` + ``ann_topk_lsh``: random-hyperplane LSH — the
+  scale path. Hyperplanes are generated from a seed driver-side and
+  broadcast as literal arrays; bucketing is a signature of sign bits,
+  so at cluster scale the candidate scan is a partition-pruned read of
+  one (or a few probed) buckets instead of the full table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _lit_vec(v) -> "F.Column":
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def cosine_topk(
+    df: DataFrame, query_vec, k: int = 10, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Exact brute-force cosine top-k (TakeOrdered — per-partition top-k
+    then driver merge; scans stay columnar and codegen'd)."""
+    q = _lit_vec(query_vec)
+    e = _as_double(F.col(vec_col))
+    sim = _dot(e, q) / (F.sqrt(_dot(e, e)) * F.sqrt(_dot(q, q)))
+    return (
+        df.select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def rp_lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add a random-hyperplane signature column ``bucket`` (int): bit i =
+    sign(v · h_i). Writing the table partitioned/bucketed by this column
+    gives partition-pruned ANN reads at scale."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    e = _as_double(F.col(vec_col))
+    bucket = F.lit(0).cast("long")
+    for i, h in enumerate(planes):
+        bit = F.when(_dot(e, _lit_vec(h)) >= 0, F.lit(1)).otherwise(F.lit(0))
+        bucket = bucket + (bit.cast("long") * F.lit(2 ** i))
+    return df.withColumn("bucket", bucket)
+
+
+def ann_topk_lsh(
+    df_bucketed: DataFrame,
+    query_vec,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 16,
+    seed: int = 42,
+    n_probes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: scan the query's bucket plus ``n_probes``
+    single-bit-flip neighbor buckets (multi-probe LSH), exact-rank the
+    candidates. Recall/latency dial = n_planes × n_probes."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    bits = (planes @ q >= 0).astype(np.int64)
+    base = int((bits * (2 ** np.arange(n_planes))).sum())
+    # probe order: flip lowest-|margin| planes first
+    margins = np.abs(planes @ q)
+    probe_buckets = [base] + [
+        base ^ (1 << int(i)) for i in np.argsort(margins)[:n_probes]
+    ]
+    cands = df_bucketed.filter(F.col("bucket").isin(probe_buckets))
+    return cosine_topk(cands, query_vec, k=k, vec_col=vec_col, id_col=id_col)

@@ -27,7 +27,7 @@ from .index.catalog import IndexCatalog
 from .query import plan as P
 from .query.engine import IndexReader
 
-INDEX_FORMAT_VERSION = "v2"  # bump to invalidate cached on-disk indexes
+INDEX_FORMAT_VERSION = "v3"  # bump to invalidate cached on-disk indexes
 K1, B = 1.2, 0.75
 
 _READERS: dict[str, IndexReader] = {}
@@ -76,6 +76,7 @@ def _bm25_sql(
     require_all: bool = False,
     exclude_terms: list[str] | None = None,
     k: int = 10,
+    extra_where: str = "",
 ) -> str:
     boosts = boosts or {}
     tlist = ", ".join(f"'{t}'" for t in terms)
@@ -111,7 +112,7 @@ scores AS (
 )
 SELECT doc_id, round(score, 6) AS score
 FROM scores
-WHERE 1=1 {not_clause}
+WHERE 1=1 {not_clause} {extra_where}
 ORDER BY score DESC, doc_id
 LIMIT {k}
 """
@@ -169,6 +170,29 @@ def ft_not_topk(spark, sf_dir):
 def ft_boost_topk(spark, sf_dir):
     r = doc_index(spark, sf_dir)
     return _topk_df(r.search(P.Or((P.Term("dup", boost=2.0), P.Term("slow"))), k=10))
+
+
+@q(
+    "ft_filtered_topk",
+    _bm25_sql(
+        ["join"],
+        extra_where="AND doc_id IN (SELECT doc_id FROM documents WHERE lang = 'de')",
+    ),
+)
+def ft_filtered_topk(spark, sf_dir):
+    # BM25 ranking restricted by a typed-column predicate (lang == 'de')
+    r = doc_index(spark, sf_dir)
+    node = P.And((P.Term("join"), P.FieldEq("lang", "de")))
+    return _topk_df(r.search(node, k=10))
+
+
+@q(
+    "ft_all_docs",
+    "SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM documents ORDER BY doc_id LIMIT 25",
+)
+def ft_all_docs(spark, sf_dir):
+    r = doc_index(spark, sf_dir)
+    return r.search(P.AllDocs(), k=25)
 
 
 @q(

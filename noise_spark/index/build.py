@@ -80,7 +80,11 @@ SEGMENTS_SCHEMA = T.StructType(
         T.StructField("tfs", T.BinaryType(), False),
         T.StructField("dls", T.BinaryType(), False),
         T.StructField("positions", T.BinaryType(), False),
-        T.StructField("max_tf_norm", T.DoubleType(), False),
+        # stats-independent block maxima: the WAND upper bound
+        # tf_norm(max_tf, min_dl, avg_dl) is computed at QUERY time, so
+        # segments stay valid when appends/deletes move avg_dl
+        T.StructField("max_tf", T.IntegerType(), False),
+        T.StructField("min_dl", T.IntegerType(), False),
         T.StructField("bucket", T.IntegerType(), False),
     ]
 )
@@ -143,35 +147,45 @@ def _tokenize_batches(analyzer_name: str, verify: bool):
     return fn
 
 
-def _extract_docs(iterator):
+def _extract_schema(id_cols: list) -> T.StructType:
+    fields = [T.StructField(c, T.StringType() if c == "url" else T.LongType(), False) for c in id_cols]
+    return T.StructType(
+        fields
+        + [
+            T.StructField("warc_ts", T.TimestampType(), True),
+            T.StructField("lang", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+
+
+def _make_extractor(id_cols: list):
     """html → text extraction inside an Arrow batch; byte-identity check
     against the provided ``text`` column (the per-row invariant)."""
-    for pdf in iterator:
-        extracted = [extract_text_from_html(h) for h in pdf["html"]]
-        given = pdf["text"].tolist()
-        for u, e, g in zip(pdf["url"], extracted, given):
-            if g is not None and e != g:
-                raise ValueError(f"extraction not byte-identical for url={u}")
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "url": pdf["url"],
-                "warc_ts": pdf["warc_ts"],
-                "lang": pdf["lang"],
-                "text": extracted,
-            }
-        )
+
+    def fn(iterator):
+        for pdf in iterator:
+            extracted = [extract_text_from_html(h) for h in pdf["html"]]
+            given = pdf["text"].tolist()
+            key = pdf[id_cols[0]] if id_cols else pdf.index
+            for u, e, g in zip(key, extracted, given):
+                if g is not None and e != g:
+                    raise ValueError(f"extraction not byte-identical for id={u}")
+            out = {c: pdf[c] for c in id_cols}
+            out.update({"warc_ts": pdf["warc_ts"], "lang": pdf["lang"], "text": extracted})
+            yield pd.DataFrame(out)
+
+    return fn
 
 
-def _make_block_builder(avg_dl: float, block_size: int, n_buckets: int, k1: float, b: float):
+def _make_block_builder(block_size: int, n_buckets: int):
     def build_blocks(key, pdf: pd.DataFrame) -> pd.DataFrame:
         term, salt = key
         pdf = pdf.sort_values("doc_id")
         doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
         tfs = pdf["tf"].to_numpy(dtype=np.int64)
-        dls = pdf["dl"].to_numpy(dtype=np.float64)
+        dls = pdf["dl"].to_numpy(dtype=np.int64)
         positions = pdf["positions"].tolist()
-        tf_norm = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avg_dl))
         bucket = term_bucket(term, n_buckets)
         rows = []
         for blk, start in enumerate(range(0, len(doc_ids), block_size)):
@@ -188,7 +202,8 @@ def _make_block_builder(avg_dl: float, block_size: int, n_buckets: int, k1: floa
                     "tfs": codec.varbyte_encode(tfs[start:end].astype(np.uint64)),
                     "dls": codec.varbyte_encode(dls[start:end].astype(np.uint64)),
                     "positions": codec.encode_positions(positions[start:end]),
-                    "max_tf_norm": float(tf_norm[start:end].max()),
+                    "max_tf": int(tfs[start:end].max()),
+                    "min_dl": int(dls[start:end].min()),
                     "bucket": bucket,
                 }
             )
@@ -203,21 +218,31 @@ def build_index(
     index_dir: str,
     config: BuildConfig | None = None,
     fail_after_stage: str | None = None,
+    stage_prefix: str = "",
+    doc_id_offset: int = 0,
 ) -> dict:
     """Run the five-stage build with snapshot commits; resumes from the
     last committed stage. ``fail_after_stage`` injects a crash for the
-    resume test. Returns build metrics."""
+    resume test. ``stage_prefix``/``doc_id_offset`` let incremental
+    appends reuse the exact same pipeline as a delta generation
+    (stages ``gen1/docs`` etc., docIDs above the watermark). Returns
+    build metrics."""
     cfg = config or BuildConfig()
     cat = IndexCatalog(index_dir)
     metrics: dict = {"stages": {}}
 
+    def sp(stage: str) -> str:
+        return f"{stage_prefix}{stage}"
+
     def done(stage: str) -> bool:
+        stage = sp(stage)
         if cat.stage_complete(stage):
             metrics["stages"][stage] = {"skipped": True, **(cat.stage_info(stage) or {}).get("metrics", {})}
             return True
         return False
 
     def commit(stage: str, stage_metrics: dict):
+        stage = sp(stage)
         info = cat.commit_stage(stage, stage_metrics)
         metrics["stages"][stage] = {**stage_metrics, "rows": info["rows"], "files": info["files"]}
         if fail_after_stage == stage:
@@ -227,28 +252,42 @@ def build_index(
     if not done("docs"):
         t0 = time.time()
         cols = set(pages.columns)
+        prepared = pages
+        for c, typ in (("warc_ts", "timestamp"), ("lang", "string")):
+            if c not in cols:
+                prepared = prepared.withColumn(c, F.lit(None).cast(typ))
+        id_cols = [cfg.doc_id_col] if cfg.doc_id_col else (["url"] if "url" in cols else [])
+        if "html" in cols and cfg.verify_extraction:
+            # extract text from html FIRST and drop the heavy html payload
+            # so the numbering shuffle/persist only carries extracted text
+            prepared = prepared.select(*id_cols, "warc_ts", "lang", "html", "text").mapInPandas(
+                _make_extractor(id_cols), schema=_extract_schema(id_cols)
+            )
+        else:
+            prepared = prepared.select(*dict.fromkeys(id_cols + ["warc_ts", "lang", "text"]))
         if cfg.doc_id_col:
-            numbered = pages
+            numbered = prepared
             if cfg.doc_id_col != "doc_id":
                 numbered = numbered.withColumnRenamed(cfg.doc_id_col, "doc_id")
             numbered = numbered.withColumn("doc_id", F.col("doc_id").cast("long"))
-            if "url" not in cols:
+            if "url" not in numbered.columns:
                 numbered = numbered.withColumn(
                     "url", F.format_string("doc:%012d", F.col("doc_id"))
                 )
         else:
-            numbered = assign_doc_ids(pages, partitions=cfg.partitions)
-        for c, typ in (("warc_ts", "timestamp"), ("lang", "string")):
-            if c not in cols:
-                numbered = numbered.withColumn(c, F.lit(None).cast(typ))
-        if "html" in cols and cfg.verify_extraction:
-            docs = numbered.mapInPandas(_extract_docs, schema=DOCS_SCHEMA)
-        else:
-            docs = numbered.select("doc_id", "url", "warc_ts", "lang", "text")
-        docs.write.mode("overwrite").parquet(cat.stage_path("docs"))
+            numbered = assign_doc_ids(prepared, partitions=cfg.partitions)
+        if doc_id_offset:
+            numbered = numbered.withColumn(
+                "doc_id", F.col("doc_id") + F.lit(doc_id_offset)
+            )
+        docs = numbered.select("doc_id", "url", "warc_ts", "lang", "text")
+        docs.write.mode("overwrite").parquet(cat.stage_path(sp("docs")))
+        persisted = getattr(numbered, "_noise_persisted", None)
+        if persisted is not None:
+            persisted.unpersist()
         commit("docs", {"seconds": time.time() - t0})
 
-    docs = spark.read.parquet(cat.stage_path("docs"))
+    docs = spark.read.parquet(cat.stage_path(sp("docs")))
 
     # -- stage B: postings (partition-local tokenize; no shuffle) -----------
     if not done("postings"):
@@ -256,10 +295,14 @@ def build_index(
         postings = docs.select("doc_id", "text").mapInPandas(
             _tokenize_batches(cfg.analyzer, cfg.verify_extraction), schema=POSTINGS_SCHEMA
         )
-        postings.write.mode("overwrite").parquet(cat.stage_path("postings"))
+        # partition-local sort by term clusters row groups so query-time
+        # term filters prune via parquet min/max — no shuffle added
+        postings.sortWithinPartitions("term", "doc_id").write.mode("overwrite").parquet(
+            cat.stage_path(sp("postings"))
+        )
         commit("postings", {"seconds": time.time() - t0, "analyzer": cfg.analyzer})
 
-    postings = spark.read.parquet(cat.stage_path("postings"))
+    postings = spark.read.parquet(cat.stage_path(sp("postings")))
 
     # -- stage C: term stats -------------------------------------------------
     if not done("term_stats"):
@@ -267,28 +310,32 @@ def build_index(
         term_stats = postings.groupBy("term").agg(
             F.count("*").alias("df"), F.sum("tf").alias("cf")
         )
-        term_stats.write.mode("overwrite").parquet(cat.stage_path("term_stats"))
+        term_stats.write.mode("overwrite").parquet(cat.stage_path(sp("term_stats")))
         commit("term_stats", {"seconds": time.time() - t0})
 
     # -- stage D: corpus stats ------------------------------------------------
     if not done("corpus_stats"):
         t0 = time.time()
         n_docs = docs.count()
-        total_tokens = postings.agg(F.sum("tf")).collect()[0][0] or 0
+        # Σcf over the (tiny) term_stats table == Σtf over postings
+        total_tokens = (
+            spark.read.parquet(cat.stage_path(sp("term_stats"))).agg(F.sum("cf")).collect()[0][0]
+            or 0
+        )
         row = spark.createDataFrame(
             [(n_docs, int(total_tokens), float(total_tokens) / max(n_docs, 1))],
             "n_docs long, total_tokens long, avg_dl double",
         )
-        row.coalesce(1).write.mode("overwrite").parquet(cat.stage_path("corpus_stats"))
+        row.coalesce(1).write.mode("overwrite").parquet(cat.stage_path(sp("corpus_stats")))
         commit("corpus_stats", {"seconds": time.time() - t0, "n_docs": n_docs})
 
-    stats_row = spark.read.parquet(cat.stage_path("corpus_stats")).collect()[0]
+    stats_row = spark.read.parquet(cat.stage_path(sp("corpus_stats"))).collect()[0]
     n_docs, avg_dl = stats_row["n_docs"], stats_row["avg_dl"]
 
     # -- stage E: segments (salted merge + block compression) ----------------
     if not done("segments"):
         t0 = time.time()
-        term_stats = spark.read.parquet(cat.stage_path("term_stats"))
+        term_stats = spark.read.parquet(cat.stage_path(sp("term_stats")))
         # Only the Zipf head needs splitting; broadcast just the hot terms.
         hot = term_stats.filter(F.col("df") > cfg.postings_per_salt).select(
             "term", F.ceil(F.col("df") / cfg.postings_per_salt).cast("int").alias("n_salts")
@@ -308,11 +355,11 @@ def build_index(
             .drop("n_salts")
         )
         segments = salted.groupBy("term", "salt").applyInPandas(
-            _make_block_builder(avg_dl, cfg.block_size, cfg.n_buckets, cfg.bm25_k1, cfg.bm25_b),
+            _make_block_builder(cfg.block_size, cfg.n_buckets),
             schema=SEGMENTS_SCHEMA,
         )
         segments.write.mode("overwrite").partitionBy("bucket").parquet(
-            cat.stage_path("segments")
+            cat.stage_path(sp("segments"))
         )
         commit("segments", {"seconds": time.time() - t0})
 

@@ -55,4 +55,7 @@ def assign_doc_ids(pages: DataFrame, partitions: int | None = None) -> DataFrame
             n += len(pdf)
             yield pdf
 
-    return ordered.mapInPandas(number, schema=out_schema)
+    out = ordered.mapInPandas(number, schema=out_schema)
+    # let the caller release the numbering cache once consumed
+    out._noise_persisted = ordered  # type: ignore[attr-defined]
+    return out

@@ -16,21 +16,9 @@ Semantics mirrored from the reference's filter tree:
 
 from __future__ import annotations
 
-import math
-
 from ..analysis.tokenizer import analyze
 from ..query import plan as P
-
-BM25_K1 = 1.2
-BM25_B = 0.75
-
-
-def bm25_idf(n_docs: int, df: int) -> float:
-    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-
-
-def bm25_tf_norm(tf: float, dl: float, avg_dl: float, k1: float = BM25_K1, b: float = BM25_B) -> float:
-    return (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * (dl / avg_dl)))
+from ..scoring import BM25_B, BM25_K1, bm25_idf, bm25_tf_norm  # noqa: F401
 
 
 class OracleIndex:

@@ -31,12 +31,18 @@ from pyspark.sql import types as T
 
 from .. import BM25_B, BM25_K1
 from ..index.catalog import IndexCatalog
-from ..oracle.oracle import bm25_idf
+from ..scoring import bm25_idf
 from . import plan as P
 
 
 class IndexReader:
-    """Reads a committed index snapshot and answers queries."""
+    """Reads a committed index snapshot and answers queries.
+
+    Resolves the manifest into possibly-many *generations* (base build +
+    incremental appends), a tombstone set (deletes), and exact stat
+    deltas — so BM25 after incremental maintenance is rank-identical to
+    a fresh build over the logical corpus (the reference's merge-op
+    counter semantics, src/index.rs:301-322)."""
 
     def __init__(
         self,
@@ -48,32 +54,93 @@ class IndexReader:
         self.spark = spark
         self.cat = IndexCatalog(index_dir)
         self.k1, self.b = k1, b
-        row = spark.read.parquet(self.cat.stage_path("corpus_stats")).collect()[0]
-        self.n_docs = row["n_docs"]
-        self.avg_dl = row["avg_dl"]
+        manifest = self.cat.current_manifest()
+        stages = manifest["stages"]
+        gens = [""]
+        gens += sorted(
+            {n.split("/")[0] for n in stages if n.startswith("gen") and "/" in n},
+            key=lambda g: int(g[3:]),
+        )
+        self._gens = gens
+
+        def paths(kind: str) -> list[str]:
+            out = []
+            for g in gens:
+                name = f"{g}/{kind}" if g else kind
+                if name in stages:
+                    out.append(stages[name]["path"])
+            return out
+
+        self._docs_paths = paths("docs")
+        self._postings_paths = paths("postings")
+        self._term_stats_paths = paths("term_stats")
+        self._segments_paths = paths("segments")
+
+        # corpus stats: Σ over generation rows + the delete-delta row
+        n_docs = 0
+        total_tokens = 0
+        for p in paths("corpus_stats"):
+            row = spark.read.parquet(p).collect()[0]
+            n_docs += row["n_docs"]
+            total_tokens += row["total_tokens"]
+        if "corpus_stats_delta" in stages:
+            d = spark.read.parquet(stages["corpus_stats_delta"]["path"]).collect()[0]
+            n_docs += d["n_docs"]
+            total_tokens += d["total_tokens"]
+        self.n_docs = n_docs
+        self.avg_dl = float(total_tokens) / max(n_docs, 1)
+
+        self._tombstones: DataFrame | None = None
+        self._tombstone_ids = None
+        if "tombstones" in stages:
+            t = spark.read.parquet(stages["tombstones"]["path"])
+            ids = [r["doc_id"] for r in t.collect()]
+            if ids:
+                self._tombstones = t
+                import numpy as np
+
+                self._tombstone_ids = np.sort(np.array(ids, dtype=np.int64))
+        self._term_stats_delta = (
+            stages["term_stats_delta"]["path"] if "term_stats_delta" in stages else None
+        )
+
+    def _union(self, paths: list[str]) -> DataFrame:
+        df = self.spark.read.parquet(paths[0])
+        for p in paths[1:]:
+            df = df.unionByName(self.spark.read.parquet(p))
+        return df
+
+    def _minus_tombstones(self, df: DataFrame) -> DataFrame:
+        if self._tombstones is None:
+            return df
+        return df.join(self._tombstones, "doc_id", "left_anti")
 
     # -- table access ---------------------------------------------------------
     @property
     def postings(self) -> DataFrame:
-        return self.spark.read.parquet(self.cat.stage_path("postings"))
+        return self._minus_tombstones(self._union(self._postings_paths))
 
     @property
     def docs(self) -> DataFrame:
-        return self.spark.read.parquet(self.cat.stage_path("docs"))
+        return self._minus_tombstones(self._union(self._docs_paths))
 
     @property
     def segments(self) -> DataFrame:
-        return self.spark.read.parquet(self.cat.stage_path("segments"))
+        return self._union(self._segments_paths)
 
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
         if not terms:
             return {}
+        stats = self._union(self._term_stats_paths)
+        if self._term_stats_delta:
+            stats = stats.unionByName(self.spark.read.parquet(self._term_stats_delta))
         rows = (
-            self.spark.read.parquet(self.cat.stage_path("term_stats"))
-            .filter(F.col("term").isin(list(terms)))
+            stats.filter(F.col("term").isin(list(terms)))
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
             .collect()
         )
-        return {r["term"]: r["df"] for r in rows}
+        return {r["term"]: r["df"] for r in rows if r["df"] and r["df"] > 0}
 
     def postings_for(self, terms: list[str], with_positions: bool = False) -> DataFrame:
         cols = ["term", "doc_id", "tf", "dl"] + (["positions"] if with_positions else [])
@@ -119,6 +186,23 @@ class IndexReader:
             return self._positional_match(list(node.terms), phrase=False, window=node.window)
         if isinstance(node, P.ExactMatch):
             return self.docs.filter(F.col("text") == node.literal).select("doc_id")
+        if isinstance(node, P.FieldEq):
+            cond = (
+                F.col(node.field).isNull()
+                if node.value is None
+                else F.col(node.field) == F.lit(node.value)
+            )
+            return self.docs.filter(cond).select("doc_id")
+        if isinstance(node, P.FieldRange):
+            cond = F.lit(True)
+            c = F.col(node.field)
+            if node.lo is not None:
+                cond = cond & (c >= node.lo if node.lo_inclusive else c > node.lo)
+            if node.hi is not None:
+                cond = cond & (c <= node.hi if node.hi_inclusive else c < node.hi)
+            return self.docs.filter(cond).select("doc_id")
+        if isinstance(node, P.AllDocs):
+            return self.docs.select("doc_id")
         raise TypeError(type(node))
 
     def _positional_match(self, terms: list[str], phrase: bool, window: int = 0) -> DataFrame:
@@ -208,8 +292,13 @@ class IndexReader:
         return boosts
 
     def search(self, node: P.Node, k: int = 10) -> DataFrame:
-        """Top-k → DataFrame(doc_id, score) ordered by (score desc, doc_id)."""
-        if isinstance(node, P.ExactMatch):
+        """Top-k → DataFrame(doc_id, score) ordered by (score desc, doc_id).
+
+        Pure filter plans (exact match, field predicates, all-docs) score
+        binary 1.0 like the reference (src/filters.rs:363-368, 487-492);
+        any plan containing scoring terms ranks by BM25 with the filters
+        shaping the candidate set."""
+        if isinstance(node, (P.ExactMatch, P.FieldEq, P.FieldRange, P.AllDocs)) or not self._term_boosts(node):
             return (
                 self._match_set(node)
                 .withColumn("score", F.lit(1.0))
@@ -302,6 +391,7 @@ class IndexReader:
         avg_dl, k1, b = self.avg_dl, self.k1, self.b
         kk = k
         bw = bin_width
+        excl = self._tombstone_ids
 
         def run_bin(key, pdf: pd.DataFrame) -> pd.DataFrame:
             (bin_id,) = key
@@ -312,7 +402,7 @@ class IndexReader:
                 per_term.setdefault(d["term"], (w_map[d["term"]], []))[1].append(d)
             for t in w_map:
                 per_term.setdefault(t, (w_map[t], []))
-            top = wand_bin(per_term, lo, hi, kk, avg_dl, k1, b, mode=mode)
+            top = wand_bin(per_term, lo, hi, kk, avg_dl, k1, b, mode=mode, exclude=excl)
             return pd.DataFrame(
                 {
                     "doc_id": pd.Series([d for d, _ in top], dtype="int64"),

@@ -74,6 +74,34 @@ class ExactMatch(Node):
     literal: str
 
 
+@dataclass(frozen=True)
+class FieldEq(Node):
+    """Typed-column equality over the document store (lang == 'en',
+    bool/null equality — the reference's T/F/N key scans,
+    src/filters.rs:413-451). ``value=None`` means IS NULL."""
+
+    field: str
+    value: object
+
+
+@dataclass(frozen=True)
+class FieldRange(Node):
+    """Numeric/timestamp range over a document-store column — the
+    reference's f-key range scans (src/filters.rs:379-501). Bounds are
+    inclusive/exclusive per flags; None = unbounded."""
+
+    field: str
+    lo: object = None
+    hi: object = None
+    lo_inclusive: bool = True
+    hi_inclusive: bool = True
+
+
+@dataclass(frozen=True)
+class AllDocs(Node):
+    """Match every document, score 1.0 (find {} — src/filters.rs:42-80)."""
+
+
 def terms_of(node: Node) -> List[str]:
     """All positive scoring terms of a plan (deduped, sorted)."""
     out: set[str] = set()
@@ -90,7 +118,7 @@ def terms_of(node: Node) -> List[str]:
         elif isinstance(n, (Phrase, Proximity)):
             if positive:
                 out.update(n.terms)
-        elif isinstance(n, ExactMatch):
+        elif isinstance(n, (ExactMatch, FieldEq, FieldRange, AllDocs)):
             pass
 
     walk(node, True)

@@ -24,19 +24,41 @@ import numpy as np
 from ..index import codec
 
 
+def _tf_norm_ub(max_tf: float, min_dl: float, avg_dl: float, k1: float, b: float) -> float:
+    """Upper bound of tf_norm within a block: tf_norm is monotone
+    increasing in tf and decreasing in dl, so (max_tf, min_dl) bounds it.
+    Computed at query time from the CURRENT avg_dl, so block metadata
+    stays valid across incremental appends/deletes that move avg_dl."""
+    return (max_tf * (k1 + 1.0)) / (max_tf + k1 * ((1.0 - b) + b * (min_dl / avg_dl)))
+
+
 class _Cursor:
     """Per-term cursor over that term's blocks within a bin."""
 
     INF = np.iinfo(np.int64).max
 
-    def __init__(self, term: str, weight: float, blocks: list[dict], lo: int, hi: int, avg_dl: float, k1: float, b: float):
+    def __init__(
+        self,
+        term: str,
+        weight: float,
+        blocks: list[dict],
+        lo: int,
+        hi: int,
+        avg_dl: float,
+        k1: float,
+        b: float,
+        exclude: np.ndarray | None = None,
+    ):
         # blocks sorted by first_doc; ranges are disjoint per term
         self.term = term
         self.weight = weight
         self.blocks = sorted(blocks, key=lambda r: r["first_doc"])
         self.lo, self.hi = lo, hi
         self.avg_dl, self.k1, self.b = avg_dl, k1, b
-        self.term_ub = weight * max(r["max_tf_norm"] for r in self.blocks)
+        self.exclude = exclude
+        for r in self.blocks:
+            r["_ub"] = weight * _tf_norm_ub(r["max_tf"], r["min_dl"], avg_dl, k1, b)
+        self.term_ub = max(r["_ub"] for r in self.blocks)
         self.bi = 0
         self._docs: np.ndarray | None = None
         self._contrib: np.ndarray | None = None
@@ -55,6 +77,8 @@ class _Cursor:
                 break
             docs = codec.delta_decode(blk["docs"])
             mask = (docs >= self.lo) & (docs < self.hi)
+            if self.exclude is not None and self.exclude.size:
+                mask &= ~np.isin(docs, self.exclude)
             if not mask.any():
                 self.bi += 1
                 continue
@@ -84,7 +108,7 @@ class _Cursor:
             bi += 1
         if bi >= len(self.blocks) or self.blocks[bi]["first_doc"] >= self.hi:
             return 0.0
-        return self.weight * self.blocks[bi]["max_tf_norm"]
+        return self.blocks[bi]["_ub"]
 
     def block_last(self, d: int) -> int:
         """last_doc of the block that would contain d (for BMW skips)."""
@@ -122,14 +146,16 @@ def wand_bin(
     b: float,
     mode: str = "or",
     theta0: float = 0.0,
+    exclude: "np.ndarray | None" = None,
 ) -> list[tuple[int, float]]:
     """Exact top-k of docs in [lo, hi) for the given terms.
 
     ``term_blocks``: term → (weight, block rows). ``mode='and'`` requires
-    all terms present. Returns [(doc_id, score)] sorted (-score, doc).
+    all terms present. ``exclude``: tombstoned docIDs (masked at block
+    decode). Returns [(doc_id, score)] sorted (-score, doc).
     """
     cursors = [
-        _Cursor(t, w, blocks, lo, hi, avg_dl, k1, b)
+        _Cursor(t, w, blocks, lo, hi, avg_dl, k1, b, exclude=exclude)
         for t, (w, blocks) in term_blocks.items()
         if blocks
     ]

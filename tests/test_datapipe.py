@@ -1,0 +1,187 @@
+"""Training-data pipeline ops: dedup, similarity, text stats, multimodal
+plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from noise_spark.datapipe import dedup, multimodal, similarity, textstats
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y"), (4, "x y"), (5, "unique")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in dedup.exact_dedup(df).collect())
+    assert kept == [1, 3, 5]
+    groups = dedup.duplicate_groups(df).collect()
+    assert sorted((g["n"], g["keep_doc"]) for g in groups) == [(2, 1), (2, 3)]
+
+
+def test_minhash_identical_docs_same_signature(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "d c b a"), (3, "totally different words here")],
+        "doc_id long, text string",
+    )
+    sig = {r["doc_id"]: (r["mh0"], r["mh1"], r["mh2"], r["mh3"])
+           for r in dedup.minhash_signatures(df, n_hashes=4).collect()}
+    assert sig[1] == sig[2]  # same token set → same signature
+    assert sig[1] != sig[3]
+
+
+def test_lsh_candidate_pairs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "p q r s t u v w")],
+        "doc_id long, text string",
+    )
+    sig = dedup.minhash_signatures(df, n_hashes=8)
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.lsh_candidate_pairs(sig, bands=4).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_near_duplicates_close(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog " * 5),
+            (2, "the quick brown fox jumps over the lazy cat " * 5),
+            (3, "completely unrelated text about spark shuffles and joins"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: int(r["simhash"]) for r in dedup.simhash(df, bits=32).collect()}
+    d12 = bin(rows[1] ^ rows[2]).count("1")
+    d13 = bin(rows[1] ^ rows[3]).count("1")
+    assert d12 < d13
+
+
+def test_ngram_jaccard_pairs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "a b c d e f g h i j"),
+            (3, "a b c x y z q w e r"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.9).collect()
+    assert [(p["id_a"], p["id_b"], p["jaccard"]) for p in pairs] == [(1, 2, 1.0)]
+
+
+def test_quality_and_langid_and_fingerprint(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat with the hat"),
+            (2, "der hund ist nicht mit der katze und"),
+            (3, "zz qq ww"),
+        ],
+        "doc_id long, text string",
+    )
+    q = {r["doc_id"]: r for r in textstats.quality_metrics(df).collect()}
+    assert q[1]["n_tokens"] == 9
+    assert 0 < q[1]["distinct_ratio"] < 1
+    langs = {r["doc_id"]: r["pred_lang"] for r in textstats.language_id(df).collect()}
+    assert langs[1] == "en" and langs[2] == "de" and langs[3] == "und"
+    fp = {r["doc_id"]: r["fp"] for r in textstats.fingerprint(df).collect()}
+    df2 = spark.createDataFrame([(9, "mat the hat cat sat on the with the")], "doc_id long, text string")
+    fp9 = textstats.fingerprint(df2).collect()[0]["fp"]
+    assert fp[1] == fp9  # bag fingerprint is order-insensitive
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    rows = emb.collect()
+    q = np.array(rows[0]["embedding"], dtype=np.float64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    sims = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    ids = np.array([r["vec_id"] for r in rows])
+    order = np.lexsort((ids, -sims))
+    want = [int(ids[i]) for i in order[:5]]
+    got = [r["vec_id"] for r in similarity.cosine_topk(emb, q, k=5).collect()]
+    assert got == want
+
+
+def test_ann_lsh_recall_clustered(spark):
+    """On clustered data (the regime ANN indexes exist for), multi-probe
+    RP-LSH must recover most of the exact top-10."""
+    rng = np.random.default_rng(3)
+    dim, n_clusters, per = 32, 10, 60
+    centers = rng.standard_normal((n_clusters, dim)) * 5
+    vecs = np.concatenate(
+        [centers[c] + rng.standard_normal((per, dim)) * 0.3 for c in range(n_clusters)]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<double>",
+    )
+    q = vecs[0]
+    bucketed = similarity.rp_lsh_buckets(df, dim=dim, n_planes=8).cache()
+    exact = [r["vec_id"] for r in similarity.cosine_topk(df, q, k=10).collect()]
+    approx = [
+        r["vec_id"]
+        for r in similarity.ann_topk_lsh(bucketed, q, dim=dim, k=10, n_planes=8, n_probes=6).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.8
+    assert approx[0] == exact[0] == 0
+
+
+def test_ann_lsh_beats_random_scan(spark, emb):
+    """On unclustered random embeddings recall is bounded by data having
+    no neighbor structure — but LSH must still beat the scanned
+    fraction by a wide margin."""
+    rows = emb.collect()
+    q = np.array(rows[0]["embedding"], dtype=np.float64)
+    dim = len(q)
+    n_planes, n_probes = 8, 6
+    bucketed = similarity.rp_lsh_buckets(emb, dim=dim, n_planes=n_planes).cache()
+    exact = [r["vec_id"] for r in similarity.cosine_topk(emb, q, k=10).collect()]
+    approx = [
+        r["vec_id"]
+        for r in similarity.ann_topk_lsh(
+            bucketed, q, dim=dim, k=10, n_planes=n_planes, n_probes=n_probes
+        ).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    scan_fraction = (n_probes + 1) / 2 ** n_planes
+    assert recall >= min(0.2, 5 * scan_fraction)
+    assert approx[0] == exact[0] == 0  # the query vector itself
+
+
+def test_multimodal_plumbing(spark):
+    data = [(i, "image", bytes([i]) * (10 + i), ("image/png", 4, 4, None)) for i in range(6)]
+    df = spark.createDataFrame(data, multimodal.MEDIA_SCHEMA)
+    meta = multimodal.binary_meta(df).collect()
+    assert all(m["n_bytes"] == 10 + m["media_id"] for m in meta)
+
+    # stub decode raises without an injected decoder
+    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+        multimodal.extract_features(df).collect()
+
+    # deterministic fake decoder exercises the real Arrow plumbing
+    def fake_decoder(raw: bytes):
+        return [float(raw[0])] * 8
+
+    feats = multimodal.extract_features(df, decoder=fake_decoder).collect()
+    assert len(feats) == 6
+    for r in feats:
+        assert r["feature"] == [float(r["media_id"])] * 8
+        assert r["n_bytes"] == 10 + r["media_id"]
+
+    vids = spark.createDataFrame(
+        [(1, "video", b"\x00", ("video/mp4", None, None, 3500))], multimodal.MEDIA_SCHEMA
+    )
+    plan = multimodal.frame_sample_plan(vids, every_ms=1000).collect()
+    assert [r["frame_ts_ms"] for r in plan] == [0, 1000, 2000, 3000]

@@ -1,0 +1,113 @@
+"""Incremental maintenance: append / delete / upsert / compact must keep
+BM25 rank-identity vs a fresh oracle over the logical corpus (the
+reference's exact counter-maintenance semantics, src/index.rs:301-322)."""
+
+import pytest
+
+from noise_spark.corpus import generate_pages
+from noise_spark.index.build import BuildConfig, build_index
+from noise_spark.index.incremental import append_docs, compact, delete_docs, upsert_docs
+from noise_spark.oracle import OracleIndex
+from noise_spark.query import IndexReader
+from noise_spark.query import plan as P
+
+QUERIES = [
+    P.Or((P.Term("w00000"),)),
+    P.Or((P.Term("w00050"), P.Term("w01500"))),
+    P.And((P.Term("w00050"), P.Term("w00007"))),
+    P.Not(P.Term("w00050"), P.Term("w00002")),
+]
+
+
+def _oracle_for(spark, reader):
+    rows = reader.docs.select("doc_id", "text").collect()
+    return OracleIndex([(r["doc_id"], r["text"]) for r in rows])
+
+
+def _assert_identical(reader, oracle, wand_too=True):
+    for node in QUERIES:
+        want = oracle.search(node, k=10)
+        got = [(r["doc_id"], r["score"]) for r in reader.search(node, k=10).collect()]
+        assert got == want, f"exhaustive mismatch for {node}"
+        if wand_too and isinstance(node, (P.Or, P.And)):
+            gw = [(r["doc_id"], r["score"]) for r in reader.search_wand(node, k=10).collect()]
+            assert gw == want, f"wand mismatch for {node}"
+
+
+@pytest.fixture(scope="module")
+def inc_index(spark, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("inc") / "idx")
+    pages = generate_pages(spark, 400, seed=42, partitions=4)
+    build_index(spark, pages, idx, BuildConfig(block_size=64))
+    return idx
+
+
+def test_append_generation(spark, inc_index):
+    from pyspark.sql import functions as F
+
+    # distinct urls — the generator keys urls by doc_id, which would
+    # collide with the base corpus (url is the upsert key)
+    new_pages = generate_pages(spark, 80, seed=777, partitions=2).withColumn(
+        "url", F.concat(F.lit("https://delta."), F.col("url"))
+    )
+    info = append_docs(spark, inc_index, new_pages, BuildConfig(block_size=64))
+    assert info["generation"] == "gen1"
+    assert info["watermark"] == 400
+    reader = IndexReader(spark, inc_index)
+    assert reader.n_docs == 480
+    assert reader.docs.count() == 480
+    _assert_identical(reader, _oracle_for(spark, reader))
+
+
+def test_delete_tombstones_and_stats(spark, inc_index):
+    reader = IndexReader(spark, inc_index)
+    victims = [r["url"] for r in reader.docs.limit(25).collect()]
+    info = delete_docs(spark, inc_index, victims)
+    assert info["deleted"] == 25
+    reader = IndexReader(spark, inc_index)
+    assert reader.n_docs == 480 - 25
+    assert reader.docs.count() == 480 - 25
+    _assert_identical(reader, _oracle_for(spark, reader))
+
+
+def test_upsert_replaces(spark, inc_index):
+    import datetime
+
+    reader = IndexReader(spark, inc_index)
+    some = [r["url"] for r in reader.docs.orderBy("doc_id").limit(10).collect()]
+    ts = datetime.datetime(2026, 2, 1)
+    rows = [
+        (u, ts, f"w00000 w00007 replacement content number w{i:05d}", "en")
+        for i, u in enumerate(some)
+    ]
+    repl = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string, lang string"
+    )
+    n_before = reader.n_docs
+    upsert_docs(spark, inc_index, repl, BuildConfig(block_size=64))
+    reader = IndexReader(spark, inc_index)
+    assert reader.n_docs == n_before  # replaced, not added
+    from pyspark.sql import functions as F
+
+    texts = {r["url"]: r["text"] for r in reader.docs.filter(
+        F.col("url").isin(some)).collect()}
+    assert all("replacement content" in t for t in texts.values())
+    _assert_identical(reader, _oracle_for(spark, reader))
+
+
+def test_compact_folds_generations(spark, inc_index, tmp_path):
+    out = str(tmp_path / "compacted")
+    reader_before = IndexReader(spark, inc_index)
+    oracle = _oracle_for(spark, reader_before)
+    n = reader_before.n_docs
+    compact(spark, inc_index, out, BuildConfig(block_size=64))
+    reader = IndexReader(spark, out)
+    assert reader.n_docs == n
+    assert reader._tombstones is None and len(reader._gens) == 1
+    # compaction renumbers docIDs (rank over url) — scores must match a
+    # fresh oracle over the compacted docs
+    _assert_identical(reader, _oracle_for(spark, reader))
+    # and the logical corpus (url → text) is unchanged
+    before = {r["url"]: r["text"] for r in reader_before.docs.collect()}
+    after = {r["url"]: r["text"] for r in reader.docs.collect()}
+    assert before == after
