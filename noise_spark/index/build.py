@@ -30,7 +30,6 @@ second merge pass.
 
 from __future__ import annotations
 
-import math
 import time
 import zlib
 from dataclasses import dataclass, field

@@ -45,9 +45,8 @@ def test_wand_bin_unit_pruning():
 
     def make_blocks(doc_ids, tfs, dls, block=64):
         rows = []
-        tfs = np.asarray(tfs, dtype=np.float64)
-        dls_arr = np.asarray(dls, dtype=np.float64)
-        tf_norm = (tfs * (k1 + 1.0)) / (tfs + k1 * ((1.0 - b) + b * (dls_arr / avg_dl)))
+        tfs = np.asarray(tfs, dtype=np.int64)
+        dls_arr = np.asarray(dls, dtype=np.int64)
         for i, s in enumerate(range(0, len(doc_ids), block)):
             e = min(s + block, len(doc_ids))
             rows.append(
@@ -57,7 +56,8 @@ def test_wand_bin_unit_pruning():
                     "docs": codec.delta_encode(np.asarray(doc_ids[s:e])),
                     "tfs": codec.varbyte_encode(np.asarray(tfs[s:e], dtype=np.uint64)),
                     "dls": codec.varbyte_encode(np.asarray(dls[s:e], dtype=np.uint64)),
-                    "max_tf_norm": float(tf_norm[s:e].max()),
+                    "max_tf": int(tfs[s:e].max()),
+                    "min_dl": int(dls_arr[s:e].min()),
                 }
             )
         return rows
