@@ -62,7 +62,9 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("term", T.StringType(), False),
         T.StructField("doc_id", T.LongType(), False),
         T.StructField("tf", T.IntegerType(), False),
-        T.StructField("positions", T.ArrayType(T.IntegerType()), False),
+        # varbyte [n, p0, Δ...] — row slice of a block positions payload;
+        # binary beats array<int> on both parquet size and Arrow transfer
+        T.StructField("positions", T.BinaryType(), False),
         T.StructField("dl", T.IntegerType(), False),
     ]
 )
@@ -131,7 +133,7 @@ def _tokenize_batches(analyzer_name: str, verify: bool):
                     terms_col.append(term)
                     docs_col.append(doc_id)
                     tfs_col.append(len(positions))
-                    pos_col.append(positions)
+                    pos_col.append(codec.positions_row(positions))
                     dl_col.append(dl)
             yield pd.DataFrame(
                 {
@@ -184,7 +186,7 @@ def _make_block_builder(block_size: int, n_buckets: int):
         doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
         tfs = pdf["tf"].to_numpy(dtype=np.int64)
         dls = pdf["dl"].to_numpy(dtype=np.int64)
-        positions = pdf["positions"].tolist()
+        positions = pdf["positions"].tolist()  # per-row varbyte buffers
         bucket = term_bucket(term, n_buckets)
         rows = []
         for blk, start in enumerate(range(0, len(doc_ids), block_size)):
@@ -200,7 +202,9 @@ def _make_block_builder(block_size: int, n_buckets: int):
                     "docs": codec.delta_encode(doc_ids[start:end]),
                     "tfs": codec.varbyte_encode(tfs[start:end].astype(np.uint64)),
                     "dls": codec.varbyte_encode(dls[start:end].astype(np.uint64)),
-                    "positions": codec.encode_positions(positions[start:end]),
+                    # rows already carry [n, p0, Δ...] — block payload is
+                    # plain concatenation, zero re-encoding
+                    "positions": b"".join(bytes(x) for x in positions[start:end]),
                     "max_tf": int(tfs[start:end].max()),
                     "min_dl": int(dls[start:end].min()),
                     "bucket": bucket,
@@ -315,12 +319,16 @@ def build_index(
     # -- stage D: corpus stats ------------------------------------------------
     if not done("corpus_stats"):
         t0 = time.time()
-        n_docs = docs.count()
-        # Σcf over the (tiny) term_stats table == Σtf over postings
-        total_tokens = (
-            spark.read.parquet(cat.stage_path(sp("term_stats"))).agg(F.sum("cf")).collect()[0][0]
-            or 0
+        # zero Spark jobs: n_docs from the docs stage's committed lineage
+        # row counts; Σcf from a driver-side columnar read of the (small)
+        # term_stats table — Σcf over terms == Σtf over postings
+        n_docs = (cat.stage_info(sp("docs")) or {}).get("rows") or docs.count()
+        import pyarrow.dataset as ds
+
+        tbl = ds.dataset(cat.stage_path(sp("term_stats")), format="parquet").to_table(
+            columns=["cf"]
         )
+        total_tokens = int(tbl["cf"].to_pandas().sum()) if tbl.num_rows else 0
         row = spark.createDataFrame(
             [(n_docs, int(total_tokens), float(total_tokens) / max(n_docs, 1))],
             "n_docs long, total_tokens long, avg_dl double",

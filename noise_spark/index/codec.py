@@ -76,6 +76,39 @@ def delta_decode(buf: bytes) -> np.ndarray:
     return np.cumsum(deltas.astype(np.int64))
 
 
+def vb_row(values) -> bytes:
+    """Tiny pure-Python LEB128 for short per-row sequences (the per-
+    posting positions payload: [count, first, delta...]). For the 1-5
+    value typical case this beats a numpy round-trip per row."""
+    out = bytearray()
+    for v in values:
+        v = int(v)
+        while v >= 0x80:
+            out.append((v & 0x7F) | 0x80)
+            v >>= 7
+        out.append(v)
+    return bytes(out)
+
+
+def positions_row(positions: list) -> bytes:
+    """Encode one posting's positions as varbyte [n, p0, Δ...] — exactly
+    one doc's slice of a block positions payload, so block assembly is a
+    plain concatenation of row buffers."""
+    vals = [len(positions)]
+    prev = 0
+    for p in positions:
+        vals.append(p - prev)
+        prev = p
+    # first value is absolute (delta from 0) by construction
+    return vb_row(vals)
+
+
+def decode_positions_row(buf: bytes) -> np.ndarray:
+    flat = varbyte_decode(buf).astype(np.int64)
+    n = int(flat[0]) if flat.size else 0
+    return np.cumsum(flat[1 : 1 + n])
+
+
 def encode_positions(positions_per_doc: list) -> bytes:
     """Encode a block's per-doc position lists as one payload.
 

@@ -226,10 +226,12 @@ class IndexReader:
         w = window
 
         def verify(iterator):
+            from ..index.codec import decode_positions_row
+
             for pdf in iterator:
                 keep = []
                 for doc_id, posmap in zip(pdf["doc_id"], pdf["posmap"]):
-                    lists = [posmap[t] for t in ordered_terms]
+                    lists = [decode_positions_row(bytes(posmap[t])) for t in ordered_terms]
                     if phrase:
                         cand = list(lists[0])
                         ok = False

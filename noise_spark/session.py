@@ -37,6 +37,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("NOISE_SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Sandbox-scale default: the test corpora are a few hundred MB, so
+        # the 128MB default packs everything into a handful of input
+        # splits and caps scan/tokenize parallelism at ~4 tasks. 4MB keeps
+        # all local[N] cores busy; a real 100TB job overrides this back up
+        # via the env var (input splits are plentiful there).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("NOISE_SPARK_MAX_PARTITION_BYTES", "4m"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
