@@ -102,7 +102,7 @@ def term_bucket(term: str, n_buckets: int = N_BUCKETS) -> int:
 class BuildConfig:
     analyzer: str = "porter"
     block_size: int = 128
-    postings_per_salt: int = 200_000  # hot-term split threshold (df per salt)
+    postings_per_salt: int = 50_000  # hot-term split threshold (df per salt)
     n_buckets: int = N_BUCKETS
     partitions: int | None = None
     verify_extraction: bool = True
@@ -186,30 +186,46 @@ def _make_block_builder(block_size: int, n_buckets: int):
         doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
         tfs = pdf["tf"].to_numpy(dtype=np.int64)
         dls = pdf["dl"].to_numpy(dtype=np.int64)
-        positions = pdf["positions"].tolist()  # per-row varbyte buffers
+        n = doc_ids.size
+        starts = np.arange(0, n, block_size, dtype=np.int64)
+        ends = np.minimum(starts + block_size, n)
+
+        # ONE numpy encode pass per column for the whole posting list;
+        # per-block payloads are byte-offset slices. Block-leading docIDs
+        # are stored absolute so each block decodes independently.
+        deltas = np.diff(doc_ids, prepend=np.int64(0))
+        deltas[starts] = doc_ids[starts]
+        dbuf, dlen = codec.varbyte_encode_with_lengths(deltas.astype(np.uint64))
+        tbuf, tlen = codec.varbyte_encode_with_lengths(tfs.astype(np.uint64))
+        lbuf, llen = codec.varbyte_encode_with_lengths(dls.astype(np.uint64))
+        doffs = np.concatenate(([0], np.cumsum(dlen)))
+        toffs = np.concatenate(([0], np.cumsum(tlen)))
+        loffs = np.concatenate(([0], np.cumsum(llen)))
+        # positions rows already carry varbyte [n, p0, Δ...]; block
+        # payload is a byte slice of the group concatenation
+        pos_rows = [bytes(x) for x in pdf["positions"].tolist()]
+        plen = np.fromiter((len(b) for b in pos_rows), dtype=np.int64, count=n)
+        poffs = np.concatenate(([0], np.cumsum(plen)))
+        pbuf = b"".join(pos_rows)
+
+        max_tf = np.maximum.reduceat(tfs, starts)
+        min_dl = np.minimum.reduceat(dls, starts)
         bucket = term_bucket(term, n_buckets)
-        rows = []
-        for blk, start in enumerate(range(0, len(doc_ids), block_size)):
-            end = min(start + block_size, len(doc_ids))
-            rows.append(
-                {
-                    "term": term,
-                    "salt": int(salt),
-                    "block_id": blk,
-                    "n_docs": end - start,
-                    "first_doc": int(doc_ids[start]),
-                    "last_doc": int(doc_ids[end - 1]),
-                    "docs": codec.delta_encode(doc_ids[start:end]),
-                    "tfs": codec.varbyte_encode(tfs[start:end].astype(np.uint64)),
-                    "dls": codec.varbyte_encode(dls[start:end].astype(np.uint64)),
-                    # rows already carry [n, p0, Δ...] — block payload is
-                    # plain concatenation, zero re-encoding
-                    "positions": b"".join(bytes(x) for x in positions[start:end]),
-                    "max_tf": int(tfs[start:end].max()),
-                    "min_dl": int(dls[start:end].min()),
-                    "bucket": bucket,
-                }
-            )
+        rows = {
+            "term": term,
+            "salt": int(salt),
+            "block_id": np.arange(starts.size, dtype=np.int64),
+            "n_docs": (ends - starts).astype(np.int64),
+            "first_doc": doc_ids[starts],
+            "last_doc": doc_ids[ends - 1],
+            "docs": [dbuf[doffs[s] : doffs[e]] for s, e in zip(starts, ends)],
+            "tfs": [tbuf[toffs[s] : toffs[e]] for s, e in zip(starts, ends)],
+            "dls": [lbuf[loffs[s] : loffs[e]] for s, e in zip(starts, ends)],
+            "positions": [pbuf[poffs[s] : poffs[e]] for s, e in zip(starts, ends)],
+            "max_tf": max_tf,
+            "min_dl": min_dl,
+            "bucket": bucket,
+        }
         return pd.DataFrame(rows, columns=[f.name for f in SEGMENTS_SCHEMA.fields])
 
     return build_blocks
@@ -361,13 +377,29 @@ def build_index(
             )
             .drop("n_salts")
         )
-        segments = salted.groupBy("term", "salt").applyInPandas(
-            _make_block_builder(cfg.block_size, cfg.n_buckets),
-            schema=SEGMENTS_SCHEMA,
+        # the merge shuffle needs many more partitions than the session
+        # default for load balance across (term, salt) groups of very
+        # different sizes; AQE coalesces the small ones back, so the high
+        # count costs nothing
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(int(prev_parts), spark.sparkContext.defaultParallelism * 8)),
         )
-        segments.write.mode("overwrite").partitionBy("bucket").parquet(
-            cat.stage_path(sp("segments"))
-        )
+        try:
+            segments = salted.groupBy("term", "salt").applyInPandas(
+                _make_block_builder(cfg.block_size, cfg.n_buckets),
+                schema=SEGMENTS_SCHEMA,
+            )
+            # regroup by bucket before the partitioned write: otherwise
+            # every reduce task writes a file into every bucket dir
+            # (tasks × buckets small files — fixed cost that grows WITH
+            # parallelism); after this shuffle each bucket is ~one file
+            segments.repartition("bucket").write.mode("overwrite").partitionBy(
+                "bucket"
+            ).parquet(cat.stage_path(sp("segments")))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         commit("segments", {"seconds": time.time() - t0})
 
     metrics["n_docs"] = n_docs

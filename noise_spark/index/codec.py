@@ -14,6 +14,38 @@ from __future__ import annotations
 import numpy as np
 
 
+def varbyte_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Vectorized LEB128 encode returning (buffer, per-value byte lengths).
+
+    The lengths let a caller slice the buffer at arbitrary value
+    boundaries — segment block builders encode a whole posting list in
+    ONE numpy pass and cut block payloads by byte offset, instead of
+    paying numpy-call overhead per 128-doc block."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b"", np.empty(0, dtype=np.int64)
+    nbytes = np.ones(v.size, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nbytes += (tmp > 0).astype(np.int64)
+        tmp >>= np.uint64(7)
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    rem = v.copy()
+    idx = starts.copy()
+    active = np.ones(v.size, dtype=bool)
+    while active.any():
+        byte = (rem & np.uint64(0x7F)).astype(np.uint8)
+        rem >>= np.uint64(7)
+        more = rem > 0
+        sel = active
+        out[idx[sel]] = byte[sel] | (more[sel].astype(np.uint8) << 7)
+        idx[sel] += 1
+        active = sel & more
+    return out.tobytes(), nbytes
+
+
 def varbyte_encode(values: np.ndarray) -> bytes:
     """Vectorized LEB128 encode of a non-negative int array."""
     v = np.asarray(values, dtype=np.uint64)
