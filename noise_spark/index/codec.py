@@ -108,6 +108,43 @@ def delta_decode(buf: bytes) -> np.ndarray:
     return np.cumsum(deltas.astype(np.int64))
 
 
+def for_encode(values: np.ndarray) -> bytes:
+    """Frame-of-reference bit-packing: store (min, width) then each
+    value − min in fixed ``width`` bits. For dense sorted docID blocks
+    this beats delta+varbyte when deltas are uniform (cf. 'Can Delta
+    Compete with Frame-of-Reference for Lightweight Integer
+    Compression?', VLDB 2024 — PAPERS.md). Self-describing header:
+    varbyte [n, base, width]."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    base = int(v.min())
+    rel = v - np.uint64(base)
+    width = max(1, int(rel.max()).bit_length())
+    header = varbyte_encode(np.array([v.size, base, width], dtype=np.uint64))
+    bits = ((rel[:, None] >> np.arange(width, dtype=np.uint64)) & np.uint64(1)).astype(
+        np.uint8
+    )
+    packed = np.packbits(bits.reshape(-1), bitorder="little")
+    return header + packed.tobytes()
+
+
+def for_decode(buf: bytes) -> np.ndarray:
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.int64)
+    # parse the 3-varint header
+    is_last = (b & 0x80) == 0
+    header_end = int(np.flatnonzero(is_last)[2]) + 1
+    n, base, width = varbyte_decode(bytes(b[:header_end])).astype(np.int64)
+    bits = np.unpackbits(b[header_end:], bitorder="little")[: n * width]
+    rel = (
+        bits.reshape(n, width).astype(np.uint64)
+        << np.arange(width, dtype=np.uint64)
+    ).sum(axis=1)
+    return (rel + np.uint64(base)).astype(np.int64)
+
+
 def vb_row(values) -> bytes:
     """Tiny pure-Python LEB128 for short per-row sequences (the per-
     posting positions payload: [count, first, delta...]). For the 1-5

@@ -75,7 +75,10 @@ class _Cursor:
                 continue
             if blk["first_doc"] >= self.hi:
                 break
-            docs = codec.delta_decode(blk["docs"])
+            if blk.get("codec") == "for":
+                docs = codec.for_decode(blk["docs"])
+            else:
+                docs = codec.delta_decode(blk["docs"])
             mask = (docs >= self.lo) & (docs < self.hi)
             if self.exclude is not None and self.exclude.size:
                 mask &= ~np.isin(docs, self.exclude)

@@ -44,3 +44,25 @@ def test_varbyte_compression_ratio():
     ids = np.arange(0, 100000, 3, dtype=np.int64)
     buf = codec.delta_encode(ids)
     assert len(buf) < ids.size * 1.1
+
+
+def test_for_roundtrip_small():
+    vals = np.array([100, 101, 105, 230, 1000, 2**40], dtype=np.uint64)
+    out = codec.for_decode(codec.for_encode(vals))
+    assert list(out) == list(vals)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**50), min_size=1, max_size=200))
+def test_for_roundtrip_property(vals):
+    arr = np.array(sorted(vals), dtype=np.uint64)
+    out = codec.for_decode(codec.for_encode(arr))
+    assert list(out) == sorted(vals)
+
+
+def test_for_beats_varbyte_on_dense_blocks():
+    # dense docID runs: FOR bit-packs tiny relative offsets
+    ids = np.arange(10_000_000, 10_000_128, dtype=np.int64)
+    f = codec.for_encode(ids.astype(np.uint64))
+    v = codec.delta_encode(ids)
+    assert len(f) < len(v) + 16  # comparable or better incl. header
