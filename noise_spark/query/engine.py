@@ -347,6 +347,19 @@ class IndexReader:
             scored = scored.join(self._match_set(node), "doc_id", "left_semi")
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def query(self, node: P.Node, k: int = 10) -> DataFrame:
+        """Planner entry point: flat scored Or/And of terms take the
+        block-max WAND path over compressed segments (bucket-pruned scan,
+        skip-heavy); everything else (positional, boolean trees, field
+        predicates, binary-scored plans) takes the exhaustive DataFrame
+        path. Both are rank-identical by construction."""
+        flat_scored = isinstance(node, (P.Or, P.And)) and all(
+            isinstance(c, P.Term) for c in getattr(node, "children", ())
+        )
+        if flat_scored:
+            return self.search_wand(node, k)
+        return self.search(node, k)
+
     # -- block-max WAND over compressed segments --------------------------------
     def search_wand(self, node: P.Node, k: int = 10, n_bins: int | None = None) -> DataFrame:
         """Top-k via distributed block-max WAND. Supports flat Or/And of

@@ -82,3 +82,14 @@ def test_wand_bin_unit_pruning():
     assert [d for d, _ in got] == [d for d, _ in want]
     for (gd, gs), (wd, ws) in zip(got, want):
         assert gs == pytest.approx(ws, rel=1e-12)
+
+
+def test_query_planner_routes(reader):
+    """query() must route flat scored plans through WAND and the rest
+    through the exhaustive path, rank-identically."""
+    flat = P.Or((P.Term("w00050"), P.Term("w01500")))
+    mixed = P.Not(P.Term("w00050"), P.Term("w00002"))
+    for node in (flat, mixed):
+        a = [(r["doc_id"], r["score"]) for r in reader.query(node, k=10).collect()]
+        b = [(r["doc_id"], r["score"]) for r in reader.search(node, k=10).collect()]
+        assert a == b
