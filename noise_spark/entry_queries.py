@@ -775,6 +775,145 @@ def mm_binary_meta(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@q(
+    "ft_return_fields",
+    f"""
+WITH topk AS ({_bm25_sql(['dup'])})
+SELECT t.doc_id, t.score, printf('doc:%012d', t.doc_id) AS url, d.lang
+FROM topk t JOIN documents d USING (doc_id) ORDER BY t.score DESC, t.doc_id
+""",
+)
+def ft_return_fields(spark, sf_dir):
+    # the return clause (§2.7): top-k joined back to the document store
+    r = doc_index(spark, sf_dir)
+    topk = _topk_df(r.search(P.Or((P.Term("dup"),)), k=10))
+    return topk.join(r.docs.select("doc_id", "url", "lang"), "doc_id").select(
+        "doc_id", "score", "url", "lang"
+    )
+
+
+@q(
+    "rel_distinct_agg",
+    """
+SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+)
+def rel_distinct_agg(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_cust"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@q(
+    "rel_array_minmax",
+    """
+SELECT label,
+       round(max(list_max(CAST(embedding AS DOUBLE[]))), 4) AS max_of_max,
+       round(min(list_min(CAST(embedding AS DOUBLE[]))), 4) AS min_of_min
+FROM embeddings GROUP BY label ORDER BY label
+""",
+)
+def rel_array_minmax(spark, sf_dir):
+    # max_array / min_array aggregates (§2.6) over a nested array column
+    e = _t(spark, sf_dir, "embeddings")
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return (
+        e.groupBy("label")
+        .agg(
+            F.round(F.max(F.array_max(emb)), 4).alias("max_of_max"),
+            F.round(F.min(F.array_min(emb)), 4).alias("min_of_min"),
+        )
+        .orderBy("label")
+    )
+
+
+@q(
+    "rel_sessionize",
+    """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+FROM g GROUP BY user_id ORDER BY user_id
+""",
+)
+def rel_sessionize(spark, sf_dir):
+    # gap-based sessionization: lag window + conditional sum
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    secs = lambda c: c.cast("timestamp").cast("long")  # noqa: E731 (ts is NTZ)
+    new_s = F.when(prev.isNull() | (secs(F.col("ts")) - secs(prev) > 1800), 1).otherwise(0)
+    return (
+        e.withColumn("new_session", new_s)
+        .groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"), F.count("*").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+@q(
+    "dp_embed_neardup_pairs",
+    """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.45
+ORDER BY id_a, id_b
+""",
+)
+def dp_embed_neardup_pairs(spark, sf_dir):
+    # embedding-cosine near-duplicate pairs (threshold blocking would use
+    # rp_lsh_buckets at scale; exact pairs here for the oracle check)
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v")
+    )
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+    a = e.alias("a")
+    b = e.alias("b")
+    sim = F.round(
+        dot(F.col("a.v"), F.col("b.v"))
+        / (F.sqrt(dot(F.col("a.v"), F.col("a.v"))) * F.sqrt(dot(F.col("b.v"), F.col("b.v")))),
+        4,
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"), sim.alias("sim"))
+        .filter(F.col("sim") >= 0.45)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@q("dp_simhash", None)  # rows-only: 64-bit majority-vote fingerprint
+def dp_simhash(spark, sf_dir):
+    from .datapipe.dedup import simhash
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash(d, bits=32).select(
+        "doc_id", F.col("simhash").cast("string").alias("simhash")
+    ).orderBy("doc_id")
+
+
 def queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
