@@ -10,7 +10,7 @@ from noise_spark.session import get_spark
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("noise_spark_tests", master="local[4]", shuffle_partitions=4)
+    s = get_spark("noise_spark_tests", master="local[8]", shuffle_partitions=8)
     yield s
 
 
