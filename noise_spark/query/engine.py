@@ -205,13 +205,56 @@ class IndexReader:
             return self.docs.select("doc_id")
         raise TypeError(type(node))
 
+    def _positional_postings(self, terms: list[str]) -> DataFrame:
+        """(term, doc_id, positions varbyte) decoded from the compressed
+        segments — the bucket-partition-pruned path (the raw postings
+        table is an intermediate; segments are the index)."""
+        from ..index.build import term_bucket
+
+        buckets = sorted({term_bucket(t) for t in terms})
+        segs = self.segments.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(list(terms))
+        ).select("term", "n_docs", "docs", "codec", "positions")
+
+        def decode(iterator):
+            from ..index import codec as C
+
+            for pdf in iterator:
+                out_term, out_doc, out_pos = [], [], []
+                for term, n_docs, dbuf, cdc, pbuf in zip(
+                    pdf["term"], pdf["n_docs"], pdf["docs"], pdf["codec"], pdf["positions"]
+                ):
+                    docs = (
+                        C.for_decode(bytes(dbuf))
+                        if cdc == "for"
+                        else C.delta_decode(bytes(dbuf))
+                    )
+                    plists = C.decode_positions(bytes(pbuf), int(n_docs))
+                    for d, pl in zip(docs.tolist(), plists):
+                        out_term.append(term)
+                        out_doc.append(d)
+                        out_pos.append(C.positions_row(pl.tolist()))
+                yield pd.DataFrame(
+                    {"term": out_term, "doc_id": out_doc, "positions": out_pos}
+                )
+
+        schema = T.StructType(
+            [
+                T.StructField("term", T.StringType(), False),
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("positions", T.BinaryType(), False),
+            ]
+        )
+        return self._minus_tombstones(segs.mapInPandas(decode, schema=schema))
+
     def _positional_match(self, terms: list[str], phrase: bool, window: int = 0) -> DataFrame:
         """Docs where ``terms`` occur consecutively (phrase) or within an
         N-word window (proximity). Candidate docs (containing all terms)
-        are found relationally; position verification is one Arrow-batched
-        grouped-map over the per-doc position lists."""
+        are found relationally over the bucket-pruned segments; position
+        verification is one Arrow-batched grouped-map over the per-doc
+        position lists."""
         n_terms = len(set(terms))
-        posts = self.postings_for(sorted(set(terms)), with_positions=True)
+        posts = self._positional_postings(sorted(set(terms)))
         grouped = (
             posts.groupBy("doc_id")
             .agg(
