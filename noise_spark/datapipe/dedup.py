@@ -8,11 +8,13 @@ notes per operator:
            text) is the shuffle key, so payload bytes never move twice.
 - minhash: signatures via explode+groupBy (map-side combine); LSH
            banding turns the O(n²) pair space into per-bucket joins.
-- simhash: 64-bit near-dup fingerprint; hamming-ball candidate pairs
-           via banding on 4×16-bit chunks (exact within distance<=3
-           when any chunk matches... chunking gives recall for d<=3 of
-           1 - C(48,3)/C(64,3)-style bounds; verify stage recomputes
-           true hamming distance).
+- simhash: near-dup fingerprint (long arithmetic, no decimals);
+           ``simhash_candidate_pairs`` bands the signature into equal
+           bit chunks — by pigeonhole, any pair within hamming distance
+           d < n_bands shares at least one identical band, so the
+           per-band self-joins have PERFECT recall for d <= n_bands-1
+           (the verify stage recomputes the true hamming distance and
+           drops false positives).
 - ngram jaccard: shingle → pair-count / union formula, exact.
 """
 
@@ -102,34 +104,99 @@ def lsh_candidate_pairs(
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
     """Per-doc SimHash: majority vote of term-hash bits weighted by tf.
 
-    Expressed fully in column expressions: explode terms → per-(doc,bit)
-    weighted sign sum → assemble bits. The bit dimension is a compile-time
-    constant so the explode fan-out is bits× terms — acceptable because
-    terms are distinct-per-doc and the aggregation is map-side combined."""
+    Pure long arithmetic (shiftright/bitwiseAND — decimal casts round
+    HALF_UP and would corrupt the bit extraction): the term hash is the
+    first 16 hex chars of md5 split into two 32-bit halves, each of
+    which fits a long exactly. ``bits <= 32`` uses the low half only;
+    up to 64 bits the signature is assembled as ``hi << 32 | lo`` (a
+    two's-complement 64-bit value — bit 63 set yields a negative long,
+    which is the correct 64-bit fingerprint). The aggregation is one
+    groupBy with ``bits`` map-side-combined long sums."""
+    if not 1 <= bits <= 64:
+        raise ValueError(f"bits must be in [1, 64], got {bits}")
     toks = _tokens(text_col)
     tf = (
         df.select(F.col(id_col), F.explode(toks).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf"))
     )
-    h64 = F.conv(F.substring(F.md5(F.col("term")), 1, 16), 16, 10).cast("decimal(38,0)")
-    tf = tf.withColumn("h", h64)
-    # per-bit signed contribution; shiftright on decimal via division
+    h_hex = F.md5(F.col("term"))
+    # hex chars 1-8 = bits 63..32, chars 9-16 = bits 31..0 of the
+    # 64-bit value conv(substr(md5,1,16)) — same value the decimal
+    # version meant to use, extracted losslessly
+    tf = tf.withColumn(
+        "h_hi", F.conv(F.substring(h_hex, 1, 8), 16, 10).cast("long")
+    ).withColumn("h_lo", F.conv(F.substring(h_hex, 9, 8), 16, 10).cast("long"))
     bit_cols = []
-    hbig = F.col("h")
     for i in range(bits):
-        bit = (hbig / F.lit(2 ** i)).cast("decimal(38,0)") % 2
+        src = F.col("h_lo") if i < 32 else F.col("h_hi")
+        bit = F.shiftright(src, i % 32).bitwiseAND(F.lit(1))
         bit_cols.append(
             F.sum(F.when(bit == 1, F.col("tf")).otherwise(-F.col("tf"))).alias(f"s{i}")
         )
     sums = tf.groupBy(id_col).agg(*bit_cols)
-    sig = None
-    for i in range(bits):
-        term = F.when(F.col(f"s{i}") > 0, F.lit(2 ** i).cast("decimal(38,0)")).otherwise(
-            F.lit(0).cast("decimal(38,0)")
+    lo = F.lit(0).cast("long")
+    hi = F.lit(0).cast("long")
+    for i in range(min(bits, 32)):
+        lo = lo.bitwiseOR(
+            F.when(F.col(f"s{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
         )
-        sig = term if sig is None else (sig + term)
-    return sums.select(F.col(id_col), sig.cast("decimal(38,0)").alias("simhash"))
+    for i in range(32, bits):
+        hi = hi.bitwiseOR(
+            F.when(F.col(f"s{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i - 32)).otherwise(0)
+        )
+    sig = F.shiftleft(hi, 32).bitwiseOR(lo) if bits > 32 else lo
+    return sums.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_candidate_pairs(
+    sigs: DataFrame,
+    bits: int = 64,
+    n_bands: int = 4,
+    max_hamming: int | None = None,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+) -> DataFrame:
+    """Hamming-ball near-dup pairs from SimHash signatures.
+
+    Banding: the signature splits into ``n_bands`` equal bit chunks; a
+    pair within hamming distance ``d <= n_bands - 1`` must share at
+    least one unchanged band (pigeonhole), so per-band self-joins give
+    perfect recall for ``max_hamming = n_bands - 1`` (the default).
+    Each join's key is (band index, band value) — blocking, never a
+    cross join. The verify stage computes the exact hamming distance
+    with ``bit_count(a XOR b)`` and filters false positives.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b.
+    """
+    if max_hamming is None:
+        max_hamming = n_bands - 1
+    width = bits // n_bands
+    if width * n_bands != bits:
+        raise ValueError(f"bits={bits} not divisible by n_bands={n_bands}")
+    mask = (1 << width) - 1
+    sig = F.col(sig_col)
+    bands = F.array(
+        *[
+            F.shiftright(sig, j * width).bitwiseAND(F.lit(mask)).cast("long")
+            for j in range(n_bands)
+        ]
+    )
+    keyed = sigs.select(
+        F.col(id_col), sig.alias("_sig"), F.posexplode(bands).alias("band_idx", "band_val")
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a._sig").bitwiseXOR(F.col("b._sig"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
 
 
 def ngram_jaccard_pairs(

@@ -68,6 +68,98 @@ def rp_lsh_buckets(
     return df.withColumn("bucket", bucket)
 
 
+def rp_lsh_band_pairs(
+    df: DataFrame,
+    dim: int,
+    r: int = 2,
+    n_bands: int = 24,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Candidate near-dup pairs via multi-band random-hyperplane LSH:
+    ``n_bands`` independent signatures of ``r`` sign bits each; a pair is
+    a candidate iff it matches in at least one band. Detection
+    probability for a pair at angle θ is ``1-(1-(1-θ/π)^r)^L`` — pick
+    (r, L) from the target cosine threshold: production near-dup
+    (cos ≥ 0.85, θ ≤ 32°) wants r=8..16, L=8 (fine buckets, cheap);
+    low thresholds like 0.45 (θ ≈ 63°) force r=2, L=24 for recall,
+    at which point buckets are coarse — angular LSH genuinely degrades
+    there, and the exact verify stage is what keeps the result correct.
+
+    The join key is (band_idx, band_key) — an equi-join (shuffle/hash),
+    never a cartesian product. Band keys are computed in ONE
+    Arrow-batched numpy matmul (n × dim) @ (dim × r·L), not per-row
+    Python. Returns distinct (id_a, id_b) with id_a < id_b.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    planes = _hyperplanes(dim, r * n_bands, seed)  # (r*L, dim)
+    weights = (2 ** np.arange(r)).astype(np.int64)
+
+    def keys_batch(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            vecs = np.asarray(pdf["v"].tolist(), dtype=np.float64)  # (n, dim)
+            bits = (vecs @ planes.T >= 0).astype(np.int64)  # (n, r*L)
+            keys = bits.reshape(len(pdf), n_bands, r) @ weights  # (n, L)
+            yield pd.DataFrame({"id": pdf["id"], "band_keys": list(keys)})
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("band_keys", T.ArrayType(T.LongType()), False),
+        ]
+    )
+    keyed = (
+        df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+        .mapInPandas(keys_batch, schema=schema)
+        .select("id", F.posexplode("band_keys").alias("band_idx", "band_key"))
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def neardup_pairs_lsh(
+    df: DataFrame,
+    dim: int,
+    threshold: float,
+    r: int = 2,
+    n_bands: int = 24,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """LSH-blocked near-duplicate pairs: multi-band candidate generation
+    (:func:`rp_lsh_band_pairs`) then exact cosine verification — the
+    scale-safe replacement for an all-pairs self-join. Returns
+    (id_a, id_b, sim) with sim rounded to 4 places, sim >= threshold."""
+    cands = rp_lsh_band_pairs(
+        df, dim, r=r, n_bands=n_bands, seed=seed, vec_col=vec_col, id_col=id_col
+    )
+    vecs = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    av = vecs.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    bv = vecs.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    sim = F.round(
+        _dot(F.col("va"), F.col("vb"))
+        / (F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))),
+        4,
+    )
+    return (
+        cands.join(av, "id_a")
+        .join(bv, "id_b")
+        .select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def ann_topk_lsh(
     df_bucketed: DataFrame,
     query_vec,

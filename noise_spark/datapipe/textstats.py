@@ -47,9 +47,19 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     by language code order (deterministic)."""
     toks = F.array_distinct(_tokens(text_col))
     scores = []
-    for lang in sorted(STOPWORDS):
+    langs = sorted(STOPWORDS)
+    for i, lang in enumerate(langs):
         hits = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in STOPWORDS[lang]])))
-        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+        # prio descends with code order so array_max (which picks the
+        # lexicographically LAST struct on hit ties) lands on the FIRST
+        # language code — ties genuinely break by code order
+        scores.append(
+            F.struct(
+                hits.alias("hits"),
+                F.lit(len(langs) - 1 - i).alias("prio"),
+                F.lit(lang).alias("lang"),
+            )
+        )
     best = F.array_max(F.array(*scores))
     return df.withColumn(
         "pred_lang",

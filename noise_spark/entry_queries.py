@@ -246,7 +246,7 @@ def ft_term_stats(spark, sf_dir):
 WITH tok AS ({_TOK}),
 dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id)
 SELECT (SELECT count(*) FROM documents) AS n_docs,
-       (SELECT sum(dl) FROM dl) AS total_tokens,
+       CAST((SELECT sum(dl) FROM dl) AS BIGINT) AS total_tokens,
        round((SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents), 6) AS avg_dl
 """,
 )
@@ -845,7 +845,7 @@ WITH g AS (
               THEN 1 ELSE 0 END AS new_session
   FROM events
 )
-SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM g GROUP BY user_id ORDER BY user_id
 """,
 )
@@ -856,8 +856,12 @@ def rel_sessionize(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
-    secs = lambda c: c.cast("timestamp").cast("long")  # noqa: E731 (ts is NTZ)
-    new_s = F.when(prev.isNull() | (secs(F.col("ts")) - secs(prev) > 1800), 1).otherwise(0)
+    # microsecond-precise gap (events carry microseconds; a cast-to-long
+    # would truncate to seconds and could flip a gap exactly at 30 min)
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731 (ts is NTZ)
+    new_s = F.when(
+        prev.isNull() | (us(F.col("ts")) - us(prev) > 1800 * 1_000_000), 1
+    ).otherwise(0)
     return (
         e.withColumn("new_session", new_s)
         .groupBy("user_id")
@@ -904,14 +908,99 @@ def dp_embed_neardup_pairs(spark, sf_dir):
     )
 
 
-@q("dp_simhash", None)  # rows-only: 64-bit majority-vote fingerprint
+_NEARDUP_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.45
+ORDER BY id_a, id_b
+"""
+
+
+@q("dp_embed_neardup_lsh", _NEARDUP_SQL)
+def dp_embed_neardup_lsh(spark, sf_dir):
+    # the scale path: multi-band random-hyperplane LSH blocking + exact
+    # cosine verify — same result as the all-pairs oracle, but the plan
+    # contains only equi-joins (asserted in tests/test_datapipe.py).
+    # r=2/L=24 because the 0.45 threshold sits at ~63°; see the
+    # recall-math note in datapipe.similarity.rp_lsh_band_pairs.
+    from .datapipe.similarity import neardup_pairs_lsh
+
+    e = _t(spark, sf_dir, "embeddings")
+    return neardup_pairs_lsh(e, dim=64, threshold=0.45, r=2, n_bands=24).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# simhash oracle: identical bit extraction (low 32 bits of md5's first
+# 16 hex chars = hex chars 9..16), per-bit tf-weighted majority vote,
+# signature assembly as Σ 2^i over positive bits
+_SIMHASH_SIG_SQL = """
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY doc_id, term
+),
+h AS (
+  SELECT doc_id, tf,
+         CAST(concat('0x', substr(md5(term), 9, 8)) AS BIGINT) AS h32
+  FROM tf
+),
+bitsum AS (
+  SELECT doc_id, b.i, sum(CASE WHEN (h32 >> CAST(b.i AS INT)) & 1 = 1 THEN tf ELSE -tf END) AS s
+  FROM h CROSS JOIN range(32) AS b(i)
+  GROUP BY doc_id, b.i
+),
+sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << CAST(i AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bitsum GROUP BY doc_id
+)
+"""
+
+
+@q(
+    "dp_simhash",
+    f"WITH {_SIMHASH_SIG_SQL} SELECT doc_id, simhash FROM sig ORDER BY doc_id",
+)
 def dp_simhash(spark, sf_dir):
     from .datapipe.dedup import simhash
 
     d = _t(spark, sf_dir, "documents")
-    return simhash(d, bits=32).select(
-        "doc_id", F.col("simhash").cast("string").alias("simhash")
-    ).orderBy("doc_id")
+    return simhash(d, bits=32).select("doc_id", "simhash").orderBy("doc_id")
+
+
+@q(
+    "dp_simhash_band_pairs",
+    f"""
+WITH {_SIMHASH_SIG_SQL},
+bands AS (
+  SELECT doc_id, simhash, b.j AS band_idx,
+         (simhash >> (CAST(b.j AS INT) * 8)) & 255 AS band_val
+  FROM sig CROSS JOIN range(4) AS b(j)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+         a.simhash AS sa, c.simhash AS sc
+  FROM bands a JOIN bands c
+    ON a.band_idx = c.band_idx AND a.band_val = c.band_val AND a.doc_id < c.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sc)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sc)) <= 3
+ORDER BY id_a, id_b
+""",
+)
+def dp_simhash_band_pairs(spark, sf_dir):
+    # hamming-ball near-dup candidates: 4×8-bit banding has perfect
+    # recall for distance <= 3 (pigeonhole), exact-verified by bit_count
+    from .datapipe.dedup import simhash, simhash_candidate_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = simhash(d, bits=32)
+    return simhash_candidate_pairs(sigs, bits=32, n_bands=4).orderBy("id_a", "id_b")
 
 
 def queries():

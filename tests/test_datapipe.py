@@ -68,6 +68,93 @@ def test_simhash_near_duplicates_close(spark):
     assert d12 < d13
 
 
+def _simhash_py(text: str, bits: int) -> int:
+    """Pure-Python reference: tf-weighted majority vote over the bits of
+    the 64-bit value formed by md5's first 16 hex chars."""
+    import hashlib
+    from collections import Counter
+
+    tf = Counter(text.split(" "))
+    sums = [0] * bits
+    for term, n in tf.items():
+        h = int(hashlib.md5(term.encode()).hexdigest()[:16], 16)
+        for i in range(bits):
+            sums[i] += n if (h >> i) & 1 else -n
+    return sum(1 << i for i in range(bits) if sums[i] > 0)
+
+
+@pytest.mark.parametrize("bits", [32, 62, 64])
+def test_simhash_bit_exact_vs_python(spark, bits):
+    # decimal casts round HALF_UP and would corrupt bit extraction; the
+    # long-arithmetic path must match the reference exactly, incl. bit 63
+    # (bits=64 → signature is a two's-complement long)
+    texts = ["a b c a", "spark shuffle join", "x", "the the the zebra"]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r["doc_id"]: int(r["simhash"]) for r in dedup.simhash(df, bits=bits).collect()}
+    for i, t in enumerate(texts):
+        want = _simhash_py(t, bits)
+        if bits == 64 and want >= 1 << 63:
+            want -= 1 << 64  # two's complement view of the long
+        assert got[i] == want, f"bits={bits} doc={i}"
+
+
+def test_simhash_rejects_bad_bits(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        dedup.simhash(df, bits=65)
+    with pytest.raises(ValueError):
+        dedup.simhash(df, bits=0)
+
+
+def test_simhash_band_pairs_pigeonhole_recall(spark):
+    # pairs within hamming distance <= n_bands-1 MUST be found (pigeonhole)
+    sigs = spark.createDataFrame(
+        [
+            (1, 0b1111000011110000),
+            (2, 0b1111000011110001),  # d(1,2)=1
+            (3, 0b1111000011000000),  # d(1,3)=2
+            (4, 0b0000111100001111),  # d(1,4)=16
+        ],
+        "doc_id long, simhash long",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_candidate_pairs(sigs, bits=16, n_bands=4).collect()
+    }
+    assert pairs[(1, 2)] == 1 and pairs[(1, 3)] == 2 and pairs[(2, 3)] == 3
+    assert (1, 4) not in pairs  # beyond max_hamming
+
+
+def test_neardup_lsh_matches_bruteforce_no_cartesian(spark, emb):
+    # the LSH-blocked path must equal the exact all-pairs result at this
+    # threshold (multi-band recall), with only equi-joins in the plan
+    lsh = similarity.neardup_pairs_lsh(emb, dim=64, threshold=0.45, r=2, n_bands=24)
+    plan = lsh._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
+
+    e = emb.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    a, b = e.alias("a"), e.alias("b")
+
+    def dot(x, y):
+        return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z)
+
+    sim = F.round(
+        dot(F.col("a.v"), F.col("b.v"))
+        / (F.sqrt(dot(F.col("a.v"), F.col("a.v"))) * F.sqrt(dot(F.col("b.v"), F.col("b.v")))),
+        4,
+    )
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"), sim.alias("s"))
+        .filter(F.col("s") >= 0.45)
+        .collect()
+    }
+    assert got == brute
+
+
 def test_ngram_jaccard_pairs(spark):
     df = spark.createDataFrame(
         [
