@@ -68,6 +68,39 @@ def corpus_path(n_docs: int) -> str:
     )
 
 
+def _codec_table() -> dict:
+    """FOR vs delta+varbyte on 128-doc blocks at three docID-gap
+    densities — the evidence for the per-block codec choice
+    (PAPERS.md: Delta vs Frame-of-Reference, VLDB 2024)."""
+    import numpy as np
+
+    from noise_spark.index import codec as C
+
+    out = {}
+    rng = np.random.default_rng(0)
+    block = 128
+    for label, gap in (("gap1", 1), ("gap8", 8), ("gap1k", 1000)):
+        ids = np.cumsum(rng.integers(1, 2 * gap + 1, size=64_000)).astype(np.int64)
+        blocks = [ids[s : s + block] for s in range(0, ids.size, block)]
+        for cname, enc, dec in (
+            ("varbyte", C.delta_encode, C.delta_decode),
+            ("for", lambda a: C.for_encode(a.astype(np.uint64)), C.for_decode),
+        ):
+            t0 = time.time()
+            bufs = [enc(b) for b in blocks]
+            enc_s = time.time() - t0
+            t0 = time.time()
+            for buf in bufs:
+                dec(buf)
+            dec_s = time.time() - t0
+            out[f"{label}_{cname}"] = {
+                "bytes": sum(len(b) for b in bufs),
+                "enc_sec": round(enc_s, 4),
+                "dec_sec": round(dec_s, 4),
+            }
+    return out
+
+
 def main():
     t_all = time.time()
     spark = get_spark("noise_spark_bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
@@ -84,9 +117,24 @@ def main():
     idx_dir = os.path.join("/tmp", f"noise_spark_benchidx_{os.getpid()}")
     shutil.rmtree(idx_dir, ignore_errors=True)
     t0 = time.time()
-    build_index(spark, pages, idx_dir, BuildConfig(block_size=128))
+    build_metrics = build_index(spark, pages, idx_dir, BuildConfig(block_size=128))
     build_sec = time.time() - t0
     docs_per_sec = N_DOCS / build_sec
+
+    # per-stage seconds/bytes/rows from the committed manifest lineage
+    from noise_spark.index.catalog import IndexCatalog
+
+    cat = IndexCatalog(idx_dir)
+    stage_stats = {}
+    index_bytes = 0
+    for st in ("docs", "term_stats", "corpus_stats", "segments"):
+        info = cat.stage_info(st) or {}
+        stage_stats[st] = {
+            "sec": round((build_metrics["stages"].get(st) or {}).get("seconds", 0.0), 3),
+            "bytes": info.get("bytes", 0),
+            "rows": info.get("rows", 0),
+        }
+        index_bytes += info.get("bytes", 0)
 
     # -- query latencies ------------------------------------------------------
     reader = IndexReader(spark, idx_dir)
@@ -97,11 +145,14 @@ def main():
         t0 = time.time()
         reader.search(node, k=10).collect()
         timings[name] = round(time.time() - t0, 4)
-    # WAND path on the scored queries
+    # WAND path on the scored queries (+ blocks actually decoded — the
+    # skip-machinery effectiveness metric; seeding engages per query)
+    wand_blocks: dict[str, int] = {}
     for name in ("q_term_head", "q_or2", "q_or4", "q_and2"):
         t0 = time.time()
         reader.search_wand(QUERY_SET[name], k=10).collect()
         timings[name + "_wand"] = round(time.time() - t0, 4)
+        wand_blocks[name] = reader.last_blocks_decoded.value
 
     lat = sorted(v for k, v in timings.items())
     p50 = lat[len(lat) // 2]
@@ -144,6 +195,7 @@ def main():
 
     total = time.time() - t_all
     shutil.rmtree(idx_dir, ignore_errors=True)
+    codec_table = _codec_table()
     print(
         json.dumps(
             {
@@ -160,6 +212,10 @@ def main():
                 "query_p95_sec": p95,
                 "total_wall_sec": round(total, 3),
                 "cpus": CPUS,
+                "stage_stats": stage_stats,
+                "index_bytes": index_bytes,
+                "wand_blocks_decoded": wand_blocks,
+                "codec_table": codec_table,
             }
         )
     )

@@ -27,7 +27,7 @@ from .index.catalog import IndexCatalog
 from .query import plan as P
 from .query.engine import IndexReader
 
-INDEX_FORMAT_VERSION = "v5"  # bump to invalidate cached on-disk indexes
+INDEX_FORMAT_VERSION = "v7"  # bump to invalidate cached on-disk indexes
 K1, B = 1.2, 0.75
 
 _READERS: dict[str, IndexReader] = {}
@@ -37,13 +37,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def doc_index(spark: SparkSession, sf_dir: str) -> IndexReader:
-    """Build (or reuse the committed snapshot of) the fulltext index over
-    ``documents``; cached on disk keyed by sf_dir + format version."""
-    key = os.path.abspath(sf_dir)
+def _cached_reader(
+    spark: SparkSession, sf_dir: str, variant: str, fields: tuple
+) -> IndexReader:
+    """Build (or reuse the committed snapshot of) a fulltext index over
+    ``documents``; cached on disk keyed by sf_dir + format version +
+    variant (single- vs multi-field)."""
+    key = (os.path.abspath(sf_dir), variant)
     if key in _READERS:
         return _READERS[key]
-    tag = hashlib.md5(f"{key}:{INDEX_FORMAT_VERSION}".encode()).hexdigest()[:10]
+    tag = hashlib.md5(f"{key[0]}:{INDEX_FORMAT_VERSION}:{variant}".encode()).hexdigest()[:10]
     idx_dir = os.path.join(tempfile.gettempdir(), f"noise_spark_docidx_{tag}")
     cat = IndexCatalog(idx_dir)
     if not cat.stage_complete("segments"):
@@ -52,11 +55,23 @@ def doc_index(spark: SparkSession, sf_dir: str) -> IndexReader:
             spark,
             docs,
             idx_dir,
-            BuildConfig(analyzer="whitespace", doc_id_col="doc_id", block_size=128),
+            BuildConfig(
+                analyzer="whitespace", doc_id_col="doc_id", block_size=128, fields=fields
+            ),
         )
     reader = IndexReader(spark, idx_dir)
     _READERS[key] = reader
     return reader
+
+
+def doc_index(spark: SparkSession, sf_dir: str) -> IndexReader:
+    return _cached_reader(spark, sf_dir, "sf1", ("text",))
+
+
+def doc_index_mf(spark: SparkSession, sf_dir: str) -> IndexReader:
+    """Two-field index (text + lang): the reference's keypath-scoped
+    indexing (src/json_shred.rs:485-576) as field-scoped term keys."""
+    return _cached_reader(spark, sf_dir, "mf1", ("text", "lang"))
 
 
 # ---------------------------------------------------------------------------
@@ -280,12 +295,13 @@ def ft_top_terms(spark, sf_dir):
     "SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents ORDER BY doc_id",
 )
 def ft_doc_lengths(spark, sf_dir):
+    # dl is answerable from the docs table with one projection (no
+    # postings scan); the engine's per-posting dl is cross-checked
+    # against this in tests/test_rank_identity.py
     r = doc_index(spark, sf_dir)
-    return (
-        r.postings.groupBy("doc_id")
-        .agg(F.first("dl").cast("long").alias("dl"))
-        .orderBy("doc_id")
-    )
+    return r.docs.select(
+        "doc_id", F.size(F.split("text", " ", -1)).cast("long").alias("dl")
+    ).orderBy("doc_id")
 
 
 @q(
@@ -790,6 +806,80 @@ def ft_return_fields(spark, sf_dir):
     return topk.join(r.docs.select("doc_id", "url", "lang"), "doc_id").select(
         "doc_id", "score", "url", "lang"
     )
+
+
+@q(
+    "ft_field_scoped_topk",
+    f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+              (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avg_dl),
+tf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tok WHERE term = 'join' GROUP BY doc_id),
+dfv AS (SELECT count(*)::DOUBLE AS df FROM tf),
+tc AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (st.n_docs - dfv.df + 0.5) / (dfv.df + 0.5))
+         * (tf.tf * ({K1} + 1.0))
+         / (tf.tf + {K1} * ((1.0 - {B}) + {B} * (dl.dl::DOUBLE / st.avg_dl))) AS c
+  FROM tf JOIN dl USING (doc_id), dfv, st
+),
+-- lang-field BM25: per-field stats (dl=1 token per doc, avg over docs)
+lstat AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(len(string_split(lang, ' '))) FROM documents)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avg_dl
+),
+ldf AS (SELECT count(*)::DOUBLE AS df FROM documents WHERE lang = 'de'),
+lc AS (
+  SELECT doc_id,
+         ln(1.0 + (lstat.n_docs - ldf.df + 0.5) / (ldf.df + 0.5))
+         * (1.0 * ({K1} + 1.0))
+         / (1.0 + {K1} * ((1.0 - {B}) + {B} * (1.0 / lstat.avg_dl))) AS c
+  FROM documents, lstat, ldf WHERE lang = 'de'
+)
+SELECT doc_id, round(sum(c), 6) AS score
+FROM (SELECT * FROM tc UNION ALL SELECT * FROM lc)
+GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10
+""",
+)
+def ft_field_scoped_topk(spark, sf_dir):
+    # field-scoped find over a multi-field index: BM25('join' in text)
+    # + BM25('de' in lang), per-field dl/avg_dl — the reference's
+    # keypath-scoped {field: ~= "w"} (repl-tests/query_basic.noise)
+    r = doc_index_mf(spark, sf_dir)
+    node = P.Or((P.Term("join"), P.Term("de", field="lang")))
+    return _topk_df(r.query(node, k=10))
+
+
+@q(
+    "ft_query_language",
+    f"SELECT doc_id FROM ({_bm25_sql(['dup'], exclude_terms=['slow'])})",
+)
+def ft_query_language(spark, sf_dir):
+    # the Noise find/order/limit text surface end-to-end
+    # (src/parser.rs:665-1307 → noise_spark.query.parser)
+    from .query.parser import run_query
+
+    r = doc_index(spark, sf_dir)
+    return run_query(
+        r, 'find {text: ~= "dup" && !text: ~= "slow"} order score() desc limit 10'
+    )
+
+
+@q(
+    "ft_query_language_return",
+    """
+SELECT printf('doc:%012d', doc_id) AS result FROM documents
+WHERE lang = 'de' ORDER BY result DESC, doc_id LIMIT 5
+""",
+)
+def ft_query_language_return(spark, sf_dir):
+    # order-by-field + return-path projection through the parser
+    from .query.parser import run_query
+
+    r = doc_index(spark, sf_dir)
+    return run_query(r, 'find {lang: == "de"} order .url desc return .url limit 5')
 
 
 @q(

@@ -3,15 +3,17 @@
 Spark-first re-expression of the reference's write path
 (``/root/reference/src/index.rs:131-161`` + ``src/json_shred.rs:314-409``):
 instead of shredding one document at a time into RocksDB KVs, the build
-is five declarative stages, each committed as an Iceberg-style snapshot
-(resume = skip committed stages):
+is four committed stages plus one in-memory intermediate, each commit an
+Iceberg-style snapshot (resume = skip committed stages):
 
 A. ``docs``        — stable dense docIDs (rank over url) + byte-exact
                      text extraction from html; the document store
                      (re-expresses the ``V``/``I``/``S`` keyspaces).
-B. ``postings``    — Arrow-batched tokenize → ``(term, doc_id, tf,
+B. postings        — Arrow-batched tokenize → ``(term, doc_id, tf,
                      positions, dl)``; partition-local, no shuffle
-                     (re-expresses the ``W``/``L`` keyspaces).
+                     (re-expresses the ``W``/``L`` keyspaces). NOT
+                     persisted: cached only for this build — the
+                     compressed segments are the single on-disk copy.
 C. ``term_stats``  — ``(term, df, cf)`` via groupBy (the ``C``/``K``
                      doc-frequency stats; map-side partial agg).
 D. ``corpus_stats``— ``(n_docs, total_tokens, avg_dl)``.
@@ -93,6 +95,16 @@ SEGMENTS_SCHEMA = T.StructType(
 
 N_BUCKETS = 64
 
+# Separator between field name and stem in a scoped term key — the
+# reference's ``W<keypath>!<stem>`` layout (src/key_builder.rs:64-82)
+# with U+001F instead of '!' so no escaping is needed (tokens from the
+# whitespace analyzer may legitimately contain '!', never a C0 control).
+FIELD_SEP = "\x1f"
+
+
+def scoped_term(field: str, term: str) -> str:
+    return f"{field}{FIELD_SEP}{term}"
+
 
 def term_bucket(term: str, n_buckets: int = N_BUCKETS) -> int:
     """Deterministic, process-stable term → bucket (crc32, not hash())."""
@@ -102,6 +114,13 @@ def term_bucket(term: str, n_buckets: int = N_BUCKETS) -> int:
 @dataclass
 class BuildConfig:
     analyzer: str = "porter"
+    # Document fields to index. One field → bare term keys (the common
+    # web-corpus case). Multiple fields → every postings/segments key is
+    # the scoped ``field␟term`` (the reference's keypath-scoped keys,
+    # src/json_shred.rs:485-576); queries scope via ``P.Term(t, field=f)``
+    # and BM25 uses per-field dl/avg_dl. fields[0] is the query-time
+    # default field.
+    fields: tuple = ("text",)
     block_size: int = 128
     postings_per_salt: int = 50_000  # hot-term split threshold (df per salt)
     doc_codec: str = "varbyte"  # docID block codec: "varbyte" (delta+LEB128) | "for" (bit-packed frame-of-reference)
@@ -117,26 +136,28 @@ class BuildConfig:
     extra: dict = field(default_factory=dict)
 
 
-def _tokenize_batches(analyzer_name: str, verify: bool):
+def _tokenize_batches(analyzer_name: str, verify: bool, fields: tuple = ("text",)):
     analyze = ANALYZERS[analyzer_name]
+    scoped = len(fields) > 1
 
     def fn(iterator):
         for pdf in iterator:
             terms_col, docs_col, tfs_col, pos_col, dl_col = [], [], [], [], []
-            texts = pdf["text"].tolist()
             doc_ids = pdf["doc_id"].tolist()
-            for doc_id, text in zip(doc_ids, texts):
-                toks = analyze(text if text is not None else "")
-                dl = len(toks)
-                per_term: dict[str, list[int]] = {}
-                for pos, term in toks:
-                    per_term.setdefault(term, []).append(pos)
-                for term, positions in per_term.items():
-                    terms_col.append(term)
-                    docs_col.append(doc_id)
-                    tfs_col.append(len(positions))
-                    pos_col.append(codec.positions_row(positions))
-                    dl_col.append(dl)
+            for fname in fields:
+                prefix = f"{fname}{FIELD_SEP}" if scoped else ""
+                for doc_id, text in zip(doc_ids, pdf[fname].tolist()):
+                    toks = analyze(text if text is not None else "")
+                    dl = len(toks)  # per-field length (the reference's L key)
+                    per_term: dict[str, list[int]] = {}
+                    for pos, term in toks:
+                        per_term.setdefault(term, []).append(pos)
+                    for term, positions in per_term.items():
+                        terms_col.append(prefix + term)
+                        docs_col.append(doc_id)
+                        tfs_col.append(len(positions))
+                        pos_col.append(codec.positions_row(positions))
+                        dl_col.append(dl)
             yield pd.DataFrame(
                 {
                     "term": terms_col,
@@ -150,7 +171,7 @@ def _tokenize_batches(analyzer_name: str, verify: bool):
     return fn
 
 
-def _extract_schema(id_cols: list) -> T.StructType:
+def _extract_schema(id_cols: list, extra: list) -> T.StructType:
     fields = [T.StructField(c, T.StringType() if c == "url" else T.LongType(), False) for c in id_cols]
     return T.StructType(
         fields
@@ -159,12 +180,14 @@ def _extract_schema(id_cols: list) -> T.StructType:
             T.StructField("lang", T.StringType(), True),
             T.StructField("text", T.StringType(), True),
         ]
+        + [T.StructField(c, T.StringType(), True) for c in extra]
     )
 
 
-def _make_extractor(id_cols: list):
+def _make_extractor(id_cols: list, extra: list):
     """html → text extraction inside an Arrow batch; byte-identity check
-    against the provided ``text`` column (the per-row invariant)."""
+    against the provided ``text`` column (the per-row invariant).
+    ``extra``: additional indexed field columns passed through."""
 
     def fn(iterator):
         for pdf in iterator:
@@ -176,6 +199,7 @@ def _make_extractor(id_cols: list):
                     raise ValueError(f"extraction not byte-identical for id={u}")
             out = {c: pdf[c] for c in id_cols}
             out.update({"warc_ts": pdf["warc_ts"], "lang": pdf["lang"], "text": extracted})
+            out.update({c: pdf[c] for c in extra})
             yield pd.DataFrame(out)
 
     return fn
@@ -288,14 +312,25 @@ def build_index(
             if c not in cols:
                 prepared = prepared.withColumn(c, F.lit(None).cast(typ))
         id_cols = [cfg.doc_id_col] if cfg.doc_id_col else (["url"] if "url" in cols else [])
+        # docs-stage payload: canonical cols that exist + every indexed field
+        has_text = "text" in cols or "html" in cols
+        extra_fields = [
+            f for f in cfg.fields if f not in ("text", "warc_ts", "lang") and f in cols
+        ]
+        keep = list(
+            dict.fromkeys(["warc_ts", "lang"] + (["text"] if has_text else []) + extra_fields)
+        )
         if "html" in cols and cfg.verify_extraction:
             # extract text from html FIRST and drop the heavy html payload
             # so the numbering shuffle/persist only carries extracted text
-            prepared = prepared.select(*id_cols, "warc_ts", "lang", "html", "text").mapInPandas(
-                _make_extractor(id_cols), schema=_extract_schema(id_cols)
+            prepared = prepared.select(
+                *id_cols, "warc_ts", "lang", "html", "text", *extra_fields
+            ).mapInPandas(
+                _make_extractor(id_cols, extra_fields),
+                schema=_extract_schema(id_cols, extra_fields),
             )
         else:
-            prepared = prepared.select(*dict.fromkeys(id_cols + ["warc_ts", "lang", "text"]))
+            prepared = prepared.select(*dict.fromkeys(id_cols + keep))
         if cfg.doc_id_col:
             numbered = prepared
             if cfg.doc_id_col != "doc_id":
@@ -311,29 +346,35 @@ def build_index(
             numbered = numbered.withColumn(
                 "doc_id", F.col("doc_id") + F.lit(doc_id_offset)
             )
-        docs = numbered.select("doc_id", "url", "warc_ts", "lang", "text")
+        docs = numbered.select("doc_id", "url", *keep)
         docs.write.mode("overwrite").parquet(cat.stage_path(sp("docs")))
         persisted = getattr(numbered, "_noise_persisted", None)
         if persisted is not None:
             persisted.unpersist()
-        commit("docs", {"seconds": time.time() - t0})
+        commit("docs", {"seconds": time.time() - t0, "doc_id_offset": doc_id_offset})
 
     docs = spark.read.parquet(cat.stage_path(sp("docs")))
 
-    # -- stage B: postings (partition-local tokenize; no shuffle) -----------
-    if not done("postings"):
-        t0 = time.time()
-        postings = docs.select("doc_id", "text").mapInPandas(
-            _tokenize_batches(cfg.analyzer, cfg.verify_extraction), schema=POSTINGS_SCHEMA
-        )
-        # partition-local sort by term clusters row groups so query-time
-        # term filters prune via parquet min/max — no shuffle added
-        postings.sortWithinPartitions("term", "doc_id").write.mode("overwrite").parquet(
-            cat.stage_path(sp("postings"))
-        )
-        commit("postings", {"seconds": time.time() - t0, "analyzer": cfg.analyzer})
+    # -- postings intermediate (partition-local tokenize; no shuffle) --------
+    # NOT persisted to disk: the compressed segments are the single
+    # on-disk copy of the postings data (storing both would double index
+    # bytes and build I/O at scale). The DataFrame is cached
+    # memory-and-disk for this build so stages C and E share one
+    # tokenize pass; resume after a crash re-tokenizes from the
+    # committed docs stage (cheaper than 2× index storage forever).
+    missing_fields = [f for f in cfg.fields if f not in docs.columns]
+    if missing_fields:
+        raise ValueError(f"indexed fields not in docs table: {missing_fields}")
+    postings = docs.select("doc_id", *cfg.fields).mapInPandas(
+        _tokenize_batches(cfg.analyzer, cfg.verify_extraction, tuple(cfg.fields)),
+        schema=POSTINGS_SCHEMA,
+    )
+    postings_cached = False
+    if not (cat.stage_complete(sp("term_stats")) and cat.stage_complete(sp("segments"))):
+        from pyspark import StorageLevel
 
-    postings = spark.read.parquet(cat.stage_path(sp("postings")))
+        postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
+        postings_cached = True
 
     # -- stage C: term stats -------------------------------------------------
     if not done("term_stats"):
@@ -342,30 +383,42 @@ def build_index(
             F.count("*").alias("df"), F.sum("tf").alias("cf")
         )
         term_stats.write.mode("overwrite").parquet(cat.stage_path(sp("term_stats")))
-        commit("term_stats", {"seconds": time.time() - t0})
+        commit("term_stats", {"seconds": time.time() - t0, "analyzer": cfg.analyzer})
 
-    # -- stage D: corpus stats ------------------------------------------------
+    # -- stage D: corpus stats (one row per indexed field) -------------------
     if not done("corpus_stats"):
         t0 = time.time()
         # zero Spark jobs: n_docs from the docs stage's committed lineage
-        # row counts; Σcf from a driver-side columnar read of the (small)
-        # term_stats table — Σcf over terms == Σtf over postings
+        # row counts; per-field Σcf from a driver-side columnar read of
+        # the (small) term_stats table — Σcf over a field's terms == Σtf
+        # over that field's postings
         n_docs = (cat.stage_info(sp("docs")) or {}).get("rows") or docs.count()
         import pyarrow.dataset as ds
 
         tbl = ds.dataset(cat.stage_path(sp("term_stats")), format="parquet").to_table(
-            columns=["cf"]
+            columns=["term", "cf"]
         )
-        total_tokens = int(tbl["cf"].to_pandas().sum()) if tbl.num_rows else 0
+        per_field = {f: 0 for f in cfg.fields}
+        if tbl.num_rows:
+            pdf = tbl.to_pandas()
+            if len(cfg.fields) > 1:
+                fld = pdf["term"].str.split(FIELD_SEP, n=1).str[0]
+                for f, s in pdf.groupby(fld)["cf"].sum().items():
+                    per_field[f] = int(s)
+            else:
+                per_field[cfg.fields[0]] = int(pdf["cf"].sum())
+        rows = [
+            (i, f, n_docs, per_field[f], float(per_field[f]) / max(n_docs, 1))
+            for i, f in enumerate(cfg.fields)
+        ]
         row = spark.createDataFrame(
-            [(n_docs, int(total_tokens), float(total_tokens) / max(n_docs, 1))],
-            "n_docs long, total_tokens long, avg_dl double",
+            rows, "ordinal int, field string, n_docs long, total_tokens long, avg_dl double"
         )
         row.coalesce(1).write.mode("overwrite").parquet(cat.stage_path(sp("corpus_stats")))
         commit("corpus_stats", {"seconds": time.time() - t0, "n_docs": n_docs})
 
-    stats_row = spark.read.parquet(cat.stage_path(sp("corpus_stats"))).collect()[0]
-    n_docs, avg_dl = stats_row["n_docs"], stats_row["avg_dl"]
+    stats_rows = spark.read.parquet(cat.stage_path(sp("corpus_stats"))).orderBy("ordinal").collect()
+    n_docs, avg_dl = stats_rows[0]["n_docs"], stats_rows[0]["avg_dl"]
 
     # -- stage E: segments (salted merge + block compression) ----------------
     if not done("segments"):
@@ -414,6 +467,8 @@ def build_index(
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         commit("segments", {"seconds": time.time() - t0})
 
+    if postings_cached:
+        postings.unpersist()
     metrics["n_docs"] = n_docs
     metrics["avg_dl"] = avg_dl
     return metrics

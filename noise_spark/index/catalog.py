@@ -83,8 +83,21 @@ class IndexCatalog:
     def commit_stage(self, stage: str, metrics: dict | None = None) -> dict:
         """Publish ``stage`` (data already written to ``stage_path``) as a
         new snapshot: append-only manifest + atomic pointer swap."""
-        path = self.stage_path(stage)
-        lineage = self._file_lineage(path)
+        return self.commit_stages({stage: (self.stage_path(stage), metrics or {})})[stage]
+
+    def commit_stages(self, updates: dict) -> dict:
+        """Publish SEVERAL stages in one manifest + one pointer swap —
+        the atomic multi-table commit mutable maintenance needs (e.g.
+        tombstones + term-stat deltas + corpus-stat deltas must become
+        visible together or not at all; a crash between separate commits
+        would permanently desync stats from match sets).
+
+        ``updates``: stage → (data_path, metrics). Paths may be
+        versioned (snapshot-suffixed) directories; readers always
+        resolve data through the manifest's recorded path, so old
+        versions stay intact for readers pinned to earlier snapshots
+        until they are garbage-collected.
+        """
         prev = self.current_manifest()
         snapshot_id = uuid.uuid4().hex[:16]
         manifest = {
@@ -93,15 +106,20 @@ class IndexCatalog:
             "committed_ts": time.time(),
             "stages": dict(prev["stages"]),
         }
-        manifest["stages"][stage] = {
-            "path": path,
-            "rows": sum(r["rows"] for r in lineage),
-            "files": len(lineage),
-            "bytes": sum(r["bytes"] for r in lineage),
-            "lineage": lineage,
-            "metrics": metrics or {},
-            "committed_ts": time.time(),
-        }
+        out = {}
+        for stage, (path, metrics) in updates.items():
+            lineage = self._file_lineage(path)
+            info = {
+                "path": path,
+                "rows": sum(r["rows"] for r in lineage),
+                "files": len(lineage),
+                "bytes": sum(r["bytes"] for r in lineage),
+                "lineage": lineage,
+                "metrics": metrics or {},
+                "committed_ts": time.time(),
+            }
+            manifest["stages"][stage] = info
+            out[stage] = info
         name = f"manifest-{snapshot_id}.json"
         mpath = os.path.join(self.manifest_dir, name)
         tmp = mpath + ".tmp"
@@ -113,4 +131,25 @@ class IndexCatalog:
         with open(ptr_tmp, "w") as f:
             f.write(name)
         os.replace(ptr_tmp, os.path.join(self.root, self.CURRENT))
-        return manifest["stages"][stage]
+        return out
+
+    def gc_unreferenced(self, prefixes: tuple) -> list[str]:
+        """Remove versioned stage directories (``<stage>__<snap>``) no
+        longer referenced by the CURRENT manifest — called only after a
+        successful commit, so readers of the new snapshot never lose
+        data; long-pinned readers of old snapshots are out of scope in
+        the sandbox (Iceberg snapshot-expiry semantics)."""
+        import shutil
+
+        current = {info["path"] for info in self.current_manifest()["stages"].values()}
+        removed = []
+        for d in os.listdir(self.root):
+            full = os.path.join(self.root, d)
+            if (
+                os.path.isdir(full)
+                and any(d.startswith(f"{p}__") for p in prefixes)
+                and full not in current
+            ):
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(d)
+        return removed

@@ -200,6 +200,27 @@ def encode_positions(positions_per_doc: list) -> bytes:
     return varbyte_encode(np.concatenate(parts))
 
 
+def split_positions(buf: bytes, n_docs: int) -> list:
+    """Split a block positions payload back into the per-doc row buffers
+    it was concatenated from (``positions_row`` slices) WITHOUT decoding
+    and re-encoding each row: one vectorized varbyte scan finds value
+    boundaries, then each doc's slice is cut at its last value's byte."""
+    if n_docs == 0:
+        return []
+    b = np.frombuffer(buf, dtype=np.uint8)
+    flat = varbyte_decode(buf).astype(np.int64)
+    ends = np.flatnonzero((b & 0x80) == 0)  # index of each value's last byte
+    out = []
+    i = 0  # value index: [n0, d0.., n1, d1..]
+    prev_byte = 0
+    for _ in range(n_docs):
+        i += 1 + int(flat[i])
+        end_byte = int(ends[i - 1]) + 1
+        out.append(buf[prev_byte:end_byte])
+        prev_byte = end_byte
+    return out
+
+
 def decode_positions(buf: bytes, n_docs: int) -> list:
     """Inverse of :func:`encode_positions` → list of int64 arrays."""
     flat = varbyte_decode(buf).astype(np.int64)

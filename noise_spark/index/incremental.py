@@ -33,7 +33,6 @@ delete deltas. Segment block maxima are stats-independent
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -66,6 +65,10 @@ def high_doc_id(spark: SparkSession, index_dir: str) -> int:
     return hi
 
 
+def _gen_complete(manifest: dict, gen: str) -> bool:
+    return all(f"{gen}/{k}" in manifest["stages"] for k in ("docs", "term_stats", "corpus_stats", "segments"))
+
+
 def append_docs(
     spark: SparkSession,
     index_dir: str,
@@ -73,11 +76,32 @@ def append_docs(
     config: BuildConfig | None = None,
 ) -> dict:
     """Commit a new generation for ``new_pages`` (docIDs above the
-    watermark) using the standard five-stage pipeline."""
+    watermark) using the standard staged pipeline.
+
+    Crash-safe: if the LATEST generation is torn (some stages committed,
+    segments missing — a previous append died mid-build), this call
+    RESUMES that generation — same prefix, same watermark — instead of
+    allocating a fresh one; retries therefore converge instead of
+    leaving phantom half-generations behind. (Readers additionally
+    ignore incomplete generations — ``IndexReader`` visibility requires
+    the full stage set — so even an un-resumed torn append is harmless.)
+    A retry MUST carry the same batch of pages, which is the natural
+    crash-retry contract (streaming ingest replays the same
+    deterministic batch)."""
     cat = IndexCatalog(index_dir)
-    gens = _generations(cat.current_manifest())
-    gen = f"gen{len(gens) + 1}"
-    watermark = high_doc_id(spark, index_dir) + 1
+    manifest = cat.current_manifest()
+    gens = _generations(manifest)
+    if gens and not _gen_complete(manifest, gens[-1]):
+        gen = gens[-1]  # resume the torn generation
+        docs_info = manifest["stages"].get(f"{gen}/docs")
+        if docs_info is not None:
+            # reuse the watermark the torn attempt numbered its docs with
+            watermark = int(docs_info.get("metrics", {}).get("doc_id_offset", 0))
+        else:
+            watermark = high_doc_id(spark, index_dir) + 1
+    else:
+        gen = f"gen{len(gens) + 1}"
+        watermark = high_doc_id(spark, index_dir) + 1
     metrics = build_index(
         spark,
         new_pages,
@@ -89,72 +113,85 @@ def append_docs(
     return {"generation": gen, "watermark": watermark, **metrics}
 
 
-def _replace_stage(spark, cat: IndexCatalog, stage: str, df: DataFrame, coalesce: int | None = None):
-    """Overwrite-and-commit a mutable stage atomically: write to a temp
-    dir, swap, commit a new snapshot manifest."""
-    final = cat.stage_path(stage)
-    tmp = final + "__tmp"
-    w = df.coalesce(coalesce) if coalesce else df
-    w.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(final, ignore_errors=True)
-    os.replace(tmp, final)
-    cat.commit_stage(stage, {})
+MUTABLE_STAGES = ("tombstones", "term_stats_delta", "corpus_stats_delta")
+
+
+def _stage_df(spark, cat: IndexCatalog, stage: str, empty_schema: str) -> DataFrame:
+    info = cat.stage_info(stage)
+    if info is None:
+        return spark.createDataFrame([], empty_schema)
+    return spark.read.parquet(info["path"])
 
 
 def delete_docs(spark: SparkSession, index_dir: str, urls: list[str]) -> dict:
-    """Tombstone docs by url; commit exact negative stat deltas."""
+    """Tombstone docs by url; commit exact negative stat deltas.
+
+    All three mutable stages (tombstones, term_stats_delta,
+    corpus_stats_delta) are written to fresh snapshot-suffixed
+    directories and published in ONE manifest swap — a crash at any
+    point leaves the previous snapshot fully intact (never tombstones
+    without the matching stat deltas), and readers pinned to the prior
+    snapshot keep their data files until GC after the commit."""
+    import uuid
+
     from ..query.engine import IndexReader
 
     reader = IndexReader(spark, index_dir)  # excludes prior tombstones
     cat = IndexCatalog(index_dir)
     victims = reader.docs.filter(F.col("url").isin(urls)).select("doc_id")
+    n_removed = victims.count()
     vic_posts = reader.postings.join(victims, "doc_id", "left_semi")
-    removed = vic_posts.agg(
-        F.count_distinct("doc_id").alias("nd"), F.sum("tf").alias("tt")
-    ).collect()[0]
-    n_removed, tok_removed = int(removed["nd"] or 0), int(removed["tt"] or 0)
+
+    # per-field token removal (corpus_stats rows are per field)
+    from .build import FIELD_SEP
+
+    if reader.scoped:
+        field_col = F.substring_index("term", FIELD_SEP, 1)
+    else:
+        field_col = F.lit(reader.default_field)
+    tok_by_field = {
+        r["f"]: int(r["tt"] or 0)
+        for r in vic_posts.groupBy(field_col.alias("f"))
+        .agg(F.sum("tf").alias("tt"))
+        .collect()
+    }
 
     neg = vic_posts.groupBy("term").agg(
         (-F.count("*")).cast("long").alias("df"), (-F.sum("tf")).cast("long").alias("cf")
     )
-    prior_delta = (
-        spark.read.parquet(cat.stage_path("term_stats_delta"))
-        if cat.stage_complete("term_stats_delta")
-        else spark.createDataFrame([], "term string, df long, cf long")
-    )
+    prior_delta = _stage_df(spark, cat, "term_stats_delta", "term string, df long, cf long")
     new_delta = (
         prior_delta.unionByName(neg)
         .groupBy("term")
         .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
     )
-    prior_tombs = (
-        spark.read.parquet(cat.stage_path("tombstones"))
-        if cat.stage_complete("tombstones")
-        else spark.createDataFrame([], "doc_id long")
-    )
+    prior_tombs = _stage_df(spark, cat, "tombstones", "doc_id long")
     all_tombs = prior_tombs.unionByName(victims).distinct()
-    prior_cd = (
-        spark.read.parquet(cat.stage_path("corpus_stats_delta")).collect()[0]
-        if cat.stage_complete("corpus_stats_delta")
-        else {"n_docs": 0, "total_tokens": 0}
-    )
-    cd = spark.createDataFrame(
-        [(prior_cd["n_docs"] - n_removed, prior_cd["total_tokens"] - tok_removed)],
-        "n_docs long, total_tokens long",
-    )
+    prior_cd = {
+        r["field"]: (int(r["n_docs"]), int(r["total_tokens"]))
+        for r in _stage_df(
+            spark, cat, "corpus_stats_delta", "field string, n_docs long, total_tokens long"
+        ).collect()
+    }
+    cd_rows = [
+        (
+            f,
+            prior_cd.get(f, (0, 0))[0] - n_removed,
+            prior_cd.get(f, (0, 0))[1] - tok_by_field.get(f, 0),
+        )
+        for f in reader.fields
+    ]
+    cd = spark.createDataFrame(cd_rows, "field string, n_docs long, total_tokens long")
 
-    # materialize BEFORE swapping (the new delta is derived from the
-    # prior delta's files, which the swap deletes). Tombstone/delta sets
-    # are small relative to the corpus; at larger scale these would be
-    # per-segment bitmaps folded at compaction.
-    new_delta = spark.createDataFrame(
-        new_delta.collect(), "term string, df long, cf long"
-    )
-    all_tombs = spark.createDataFrame(all_tombs.collect(), "doc_id long")
-
-    _replace_stage(spark, cat, "tombstones", all_tombs, coalesce=1)
-    _replace_stage(spark, cat, "term_stats_delta", new_delta, coalesce=1)
-    _replace_stage(spark, cat, "corpus_stats_delta", cd, coalesce=1)
+    # write each stage to a fresh versioned dir (prior versions untouched)
+    snap = uuid.uuid4().hex[:8]
+    paths = {s: os.path.join(cat.root, f"{s}__{snap}") for s in MUTABLE_STAGES}
+    all_tombs.coalesce(1).write.mode("overwrite").parquet(paths["tombstones"])
+    new_delta.coalesce(1).write.mode("overwrite").parquet(paths["term_stats_delta"])
+    cd.coalesce(1).write.mode("overwrite").parquet(paths["corpus_stats_delta"])
+    # ONE atomic publish for all three, then GC superseded versions
+    cat.commit_stages({s: (p, {}) for s, p in paths.items()})
+    cat.gc_unreferenced(MUTABLE_STAGES)
     return {"deleted": n_removed}
 
 

@@ -56,11 +56,25 @@ class IndexReader:
         self.k1, self.b = k1, b
         manifest = self.cat.current_manifest()
         stages = manifest["stages"]
-        gens = [""]
-        gens += sorted(
-            {n.split("/")[0] for n in stages if n.startswith("gen") and "/" in n},
-            key=lambda g: int(g[3:]),
-        )
+
+        def gen_complete(g: str) -> bool:
+            # a generation is visible only when its FULL stage set is
+            # committed — a reader opened between a torn append's commits
+            # must never see phantom docs with missing stats/segments
+            return all(
+                (f"{g}/{k}" if g else k) in stages
+                for k in ("docs", "term_stats", "corpus_stats", "segments")
+            )
+
+        gens = [g for g in [""] if gen_complete(g)]
+        gens += [
+            g
+            for g in sorted(
+                {n.split("/")[0] for n in stages if n.startswith("gen") and "/" in n},
+                key=lambda g: int(g[3:]),
+            )
+            if gen_complete(g)
+        ]
         self._gens = gens
 
         def paths(kind: str) -> list[str]:
@@ -72,23 +86,34 @@ class IndexReader:
             return out
 
         self._docs_paths = paths("docs")
-        self._postings_paths = paths("postings")
         self._term_stats_paths = paths("term_stats")
         self._segments_paths = paths("segments")
 
-        # corpus stats: Σ over generation rows + the delete-delta row
-        n_docs = 0
-        total_tokens = 0
+        # corpus stats: per-field Σ over generation rows + delete deltas
+        field_order: list[str] = []
+        fstats: dict[str, list[int]] = {}  # field -> [n_docs, total_tokens]
         for p in paths("corpus_stats"):
-            row = spark.read.parquet(p).collect()[0]
-            n_docs += row["n_docs"]
-            total_tokens += row["total_tokens"]
+            for row in spark.read.parquet(p).orderBy("ordinal").collect():
+                f = row["field"]
+                if f not in fstats:
+                    fstats[f] = [0, 0]
+                    field_order.append(f)
+                fstats[f][0] += row["n_docs"]
+                fstats[f][1] += row["total_tokens"]
         if "corpus_stats_delta" in stages:
-            d = spark.read.parquet(stages["corpus_stats_delta"]["path"]).collect()[0]
-            n_docs += d["n_docs"]
-            total_tokens += d["total_tokens"]
-        self.n_docs = n_docs
-        self.avg_dl = float(total_tokens) / max(n_docs, 1)
+            for d in spark.read.parquet(stages["corpus_stats_delta"]["path"]).collect():
+                f = d["field"]
+                if f in fstats:
+                    fstats[f][0] += d["n_docs"]
+                    fstats[f][1] += d["total_tokens"]
+        self.fields = field_order
+        self.default_field = field_order[0] if field_order else "text"
+        self.scoped = len(field_order) > 1
+        self.n_docs = fstats[self.default_field][0] if field_order else 0
+        self.field_avg_dl = {
+            f: float(v[1]) / max(v[0], 1) for f, v in fstats.items()
+        }
+        self.avg_dl = self.field_avg_dl.get(self.default_field, 0.0)
 
         self._tombstones: DataFrame | None = None
         self._tombstone_ids = None
@@ -103,6 +128,33 @@ class IndexReader:
         self._term_stats_delta = (
             stages["term_stats_delta"]["path"] if "term_stats_delta" in stages else None
         )
+        self._df_cache: dict[str, int] = {}
+        ts_info = stages.get("term_stats") or {}
+        self.analyzer = (ts_info.get("metrics") or {}).get("analyzer", "porter")
+
+    # -- field scoping ----------------------------------------------------------
+    def _key(self, term: str, field: str | None = None) -> str:
+        """Map (term, field) to its index key: bare on single-field
+        indexes, ``field␟term`` on multi-field ones (the reference's
+        keypath-scoped key, src/key_builder.rs:64-82)."""
+        from ..index.build import scoped_term
+
+        f = field or self.default_field
+        if not self.scoped:
+            if f != self.default_field:
+                raise ValueError(
+                    f"index has a single field {self.default_field!r}; "
+                    f"cannot scope query to {f!r}"
+                )
+            return term
+        if f not in self.field_avg_dl:
+            raise ValueError(f"field {f!r} not indexed (have {self.fields})")
+        return scoped_term(f, term)
+
+    def _field_of(self, key: str) -> str:
+        from ..index.build import FIELD_SEP
+
+        return key.split(FIELD_SEP, 1)[0] if self.scoped else self.default_field
 
     def _union(self, paths: list[str]) -> DataFrame:
         df = self.spark.read.parquet(paths[0])
@@ -118,7 +170,12 @@ class IndexReader:
     # -- table access ---------------------------------------------------------
     @property
     def postings(self) -> DataFrame:
-        return self._minus_tombstones(self._union(self._postings_paths))
+        """Logical postings view ``(term, doc_id, tf, dl)`` decoded from
+        the compressed segments — the segments ARE the index (single
+        copy on disk; the build's raw-postings stage is an unpersisted
+        intermediate). Prefer :meth:`postings_for` for term-scoped reads
+        (bucket partition pruning)."""
+        return self._decode_segments(None)
 
     @property
     def docs(self) -> DataFrame:
@@ -129,32 +186,101 @@ class IndexReader:
         return self._union(self._segments_paths)
 
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
+        """Doc frequencies, cached per reader: a reader pins one snapshot,
+        so stats are immutable for its lifetime — repeat queries over the
+        same vocabulary skip the stats job entirely."""
         if not terms:
             return {}
-        stats = self._union(self._term_stats_paths)
-        if self._term_stats_delta:
-            stats = stats.unionByName(self.spark.read.parquet(self._term_stats_delta))
-        rows = (
-            stats.filter(F.col("term").isin(list(terms)))
-            .groupBy("term")
-            .agg(F.sum("df").alias("df"))
-            .collect()
-        )
-        return {r["term"]: r["df"] for r in rows if r["df"] and r["df"] > 0}
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            stats = self._union(self._term_stats_paths)
+            if self._term_stats_delta:
+                stats = stats.unionByName(self.spark.read.parquet(self._term_stats_delta))
+            rows = (
+                stats.filter(F.col("term").isin(missing))
+                .groupBy("term")
+                .agg(F.sum("df").alias("df"))
+                .collect()
+            )
+            got = {r["term"]: r["df"] for r in rows}
+            for t in missing:
+                self._df_cache[t] = int(got.get(t) or 0)
+        return {t: self._df_cache[t] for t in terms if self._df_cache.get(t, 0) > 0}
 
     def postings_for(self, terms: list[str], with_positions: bool = False) -> DataFrame:
-        cols = ["term", "doc_id", "tf", "dl"] + (["positions"] if with_positions else [])
-        return self.postings.filter(F.col("term").isin(list(terms))).select(*cols)
+        """Term-scoped postings decoded from segments: the scan is pruned
+        by the deterministic term-bucket partition, then by term via
+        parquet dictionary/min-max — only matching blocks are decoded."""
+        return self._decode_segments(list(terms), with_positions=with_positions)
+
+    def _decode_segments(
+        self, terms: list[str] | None, with_positions: bool = False
+    ) -> DataFrame:
+        """(term, doc_id, tf, dl[, positions]) from compressed segment
+        blocks. Decode is one Arrow-batched pass, numpy per block; the
+        positions column (when requested) is re-sliced per doc from the
+        block payload without a decode/re-encode round-trip."""
+        segs = self.segments
+        if terms is not None:
+            from ..index.build import term_bucket
+
+            buckets = sorted({term_bucket(t) for t in terms})
+            segs = segs.filter(
+                F.col("bucket").isin(buckets) & F.col("term").isin(list(terms))
+            )
+        cols = ["term", "n_docs", "docs", "tfs", "dls", "codec"] + (
+            ["positions"] if with_positions else []
+        )
+        segs = segs.select(*cols)
+        want_pos = with_positions
+
+        def decode(iterator):
+            import numpy as np
+
+            from ..index import codec as C
+
+            for pdf in iterator:
+                frames = []
+                for row in pdf.itertuples(index=False):
+                    doc_ids = (
+                        C.for_decode(bytes(row.docs))
+                        if row.codec == "for"
+                        else C.delta_decode(bytes(row.docs))
+                    )
+                    data = {
+                        "term": row.term,
+                        "doc_id": doc_ids.astype(np.int64),
+                        "tf": C.varbyte_decode(bytes(row.tfs)).astype(np.int32),
+                        "dl": C.varbyte_decode(bytes(row.dls)).astype(np.int32),
+                    }
+                    if want_pos:
+                        data["positions"] = C.split_positions(
+                            bytes(row.positions), int(row.n_docs)
+                        )
+                    frames.append(pd.DataFrame(data))
+                if frames:
+                    yield pd.concat(frames, ignore_index=True)
+
+        fields = [
+            T.StructField("term", T.StringType(), False),
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("tf", T.IntegerType(), False),
+            T.StructField("dl", T.IntegerType(), False),
+        ]
+        if want_pos:
+            fields.append(T.StructField("positions", T.BinaryType(), False))
+        out = segs.mapInPandas(decode, schema=T.StructType(fields))
+        return self._minus_tombstones(out)
 
     # -- match sets -------------------------------------------------------------
     def _match_set(self, node: P.Node) -> DataFrame:
         """DataFrame[doc_id] of matching documents."""
         if isinstance(node, P.Term):
-            return self.postings_for([node.term]).select("doc_id")
+            return self.postings_for([self._key(node.term, node.field)]).select("doc_id")
         if isinstance(node, P.Or):
             kids = [c for c in node.children]
             if all(isinstance(c, P.Term) for c in kids):
-                terms = [c.term for c in kids]
+                terms = [self._key(c.term, c.field) for c in kids]
                 return self.postings_for(terms).select("doc_id").distinct()
             out = self._match_set(kids[0])
             for c in kids[1:]:
@@ -163,7 +289,7 @@ class IndexReader:
         if isinstance(node, P.And):
             kids = list(node.children)
             if all(isinstance(c, P.Term) for c in kids):
-                terms = sorted({c.term for c in kids})
+                terms = sorted({self._key(c.term, c.field) for c in kids})
                 # one scan + count == n  (re-expresses leapfrog intersection)
                 return (
                     self.postings_for(terms)
@@ -181,9 +307,11 @@ class IndexReader:
             neg = self._match_set(node.negative)
             return pos.join(neg, "doc_id", "left_anti")
         if isinstance(node, P.Phrase):
-            return self._positional_match(list(node.terms), phrase=True)
+            keys = [self._key(t, node.field) for t in node.terms]
+            return self._positional_match(keys, phrase=True)
         if isinstance(node, P.Proximity):
-            return self._positional_match(list(node.terms), phrase=False, window=node.window)
+            keys = [self._key(t, node.field) for t in node.terms]
+            return self._positional_match(keys, phrase=False, window=node.window)
         if isinstance(node, P.ExactMatch):
             return self.docs.filter(F.col("text") == node.literal).select("doc_id")
         if isinstance(node, P.FieldEq):
@@ -206,46 +334,11 @@ class IndexReader:
         raise TypeError(type(node))
 
     def _positional_postings(self, terms: list[str]) -> DataFrame:
-        """(term, doc_id, positions varbyte) decoded from the compressed
-        segments — the bucket-partition-pruned path (the raw postings
-        table is an intermediate; segments are the index)."""
-        from ..index.build import term_bucket
-
-        buckets = sorted({term_bucket(t) for t in terms})
-        segs = self.segments.filter(
-            F.col("bucket").isin(buckets) & F.col("term").isin(list(terms))
-        ).select("term", "n_docs", "docs", "codec", "positions")
-
-        def decode(iterator):
-            from ..index import codec as C
-
-            for pdf in iterator:
-                out_term, out_doc, out_pos = [], [], []
-                for term, n_docs, dbuf, cdc, pbuf in zip(
-                    pdf["term"], pdf["n_docs"], pdf["docs"], pdf["codec"], pdf["positions"]
-                ):
-                    docs = (
-                        C.for_decode(bytes(dbuf))
-                        if cdc == "for"
-                        else C.delta_decode(bytes(dbuf))
-                    )
-                    plists = C.decode_positions(bytes(pbuf), int(n_docs))
-                    for d, pl in zip(docs.tolist(), plists):
-                        out_term.append(term)
-                        out_doc.append(d)
-                        out_pos.append(C.positions_row(pl.tolist()))
-                yield pd.DataFrame(
-                    {"term": out_term, "doc_id": out_doc, "positions": out_pos}
-                )
-
-        schema = T.StructType(
-            [
-                T.StructField("term", T.StringType(), False),
-                T.StructField("doc_id", T.LongType(), False),
-                T.StructField("positions", T.BinaryType(), False),
-            ]
+        """(term, doc_id, positions varbyte) — bucket-pruned segment
+        decode (positions re-sliced per doc, not re-encoded)."""
+        return self._decode_segments(terms, with_positions=True).select(
+            "term", "doc_id", "positions"
         )
-        return self._minus_tombstones(segs.mapInPandas(decode, schema=schema))
 
     def _positional_match(self, terms: list[str], phrase: bool, window: int = 0) -> DataFrame:
         """Docs where ``terms`` occur consecutively (phrase) or within an
@@ -317,11 +410,13 @@ class IndexReader:
 
     # -- scoring -------------------------------------------------------------------
     def _term_boosts(self, node: P.Node) -> dict[str, float]:
+        """Positive scoring terms of a plan as INDEX KEYS (field-scoped
+        on multi-field indexes) → accumulated boost."""
         boosts: dict[str, float] = {}
 
         def walk(n: P.Node, mult: float):
             if isinstance(n, P.Term):
-                boosts[n.term] = mult * n.boost
+                boosts[self._key(n.term, n.field)] = mult * n.boost
             elif isinstance(n, (P.Or, P.And)):
                 for c in n.children:
                     walk(c, mult * n.boost)
@@ -329,7 +424,7 @@ class IndexReader:
                 walk(n.positive, mult)
             elif isinstance(n, (P.Phrase, P.Proximity)):
                 for t in n.terms:
-                    boosts[t] = mult * n.boost
+                    boosts[self._key(t, n.field)] = mult * n.boost
             elif isinstance(n, P.ExactMatch):
                 pass
 
@@ -354,24 +449,29 @@ class IndexReader:
         terms = sorted(boosts)
         dfs = self.term_dfs(terms)
         weights = [
-            (t, bm25_idf(self.n_docs, dfs[t]) * boosts[t]) for t in terms if t in dfs
+            (t, bm25_idf(self.n_docs, dfs[t]) * boosts[t], self.field_avg_dl[self._field_of(t)])
+            for t in terms
+            if t in dfs
         ]
         if not weights:
             return self.spark.createDataFrame([], "doc_id long, score double")
-        wdf = F.broadcast(self.spark.createDataFrame(weights, "term string, w double"))
-        k1, b, avg_dl = self.k1, self.b, self.avg_dl
+        wdf = F.broadcast(
+            self.spark.createDataFrame(weights, "term string, w double, avgdl double")
+        )
+        k1, b = self.k1, self.b
         # parenthesization mirrors oracle.bm25_tf_norm exactly:
-        # w * ((tf*(k1+1)) / (tf + k1*((1-b) + b*(dl/avgdl))))
+        # w * ((tf*(k1+1)) / (tf + k1*((1-b) + b*(dl/avgdl))));
+        # avgdl is per-term (= the term's FIELD average length)
         contrib = F.col("w") * (
             (F.col("tf") * F.lit(k1 + 1.0))
             / (
                 F.col("tf")
                 + F.lit(k1)
-                * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.lit(avg_dl)))
+                * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.col("avgdl")))
             )
         )
         scored = (
-            self.postings_for([t for t, _ in weights])
+            self.postings_for([t for t, _, _ in weights])
             .join(wdf, "term")
             .withColumn("contrib", contrib)
             .groupBy("doc_id")
@@ -404,11 +504,91 @@ class IndexReader:
         return self.search(node, k)
 
     # -- block-max WAND over compressed segments --------------------------------
-    def search_wand(self, node: P.Node, k: int = 10, n_bins: int | None = None) -> DataFrame:
+    def _seed_theta(self, weights: dict[str, float], k: int, n_blocks: int = 8) -> float:
+        """Global-θ seed: decode the ``n_blocks`` highest-upper-bound
+        blocks driver-side and take the kth-largest per-doc partial score.
+        Each decoded contribution is EXACT for its term, so per-doc sums
+        are lower bounds of true scores, and the kth largest of k lower
+        bounds is a lower bound of the kth-best overall score — seeding
+        θ with it can never skip a true top-k doc. Cost: one tiny job
+        (bucket+term-pruned scan, TakeOrdered n_blocks) + n_blocks block
+        decodes on the driver."""
+        import numpy as np
+
+        from ..index.build import term_bucket
+        from ..index import codec as C
+        from .wand import _tf_norm_ub
+
+        buckets = sorted({term_bucket(t) for t in weights})
+        wmap = F.create_map(
+            *[F.lit(x) for t, w in weights.items() for x in (t, float(w))]
+        )
+        avgdl_map = F.create_map(
+            *[
+                F.lit(x)
+                for t in weights
+                for x in (t, float(self.field_avg_dl[self._field_of(t)]))
+            ]
+        )
+        k1, b = self.k1, self.b
+        ub = wmap[F.col("term")] * (
+            (F.col("max_tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("max_tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * (F.col("min_dl") / avgdl_map[F.col("term")]))
+            )
+        )
+        rows = (
+            self.segments.filter(
+                F.col("bucket").isin(buckets) & F.col("term").isin(list(weights))
+            )
+            .select("term", "first_doc", "docs", "tfs", "dls", "codec", ub.alias("ub"))
+            .orderBy(F.desc("ub"), "term", "first_doc")  # deterministic under ties
+            .limit(n_blocks)
+            .collect()
+        )
+        acc: dict[int, float] = {}
+        for r in rows:
+            docs = (
+                C.for_decode(bytes(r["docs"]))
+                if r["codec"] == "for"
+                else C.delta_decode(bytes(r["docs"]))
+            )
+            tfs = C.varbyte_decode(bytes(r["tfs"])).astype(np.float64)
+            dls = C.varbyte_decode(bytes(r["dls"])).astype(np.float64)
+            t_avg = self.field_avg_dl[self._field_of(r["term"])]
+            contrib = weights[r["term"]] * (
+                (tfs * (k1 + 1.0)) / (tfs + k1 * ((1.0 - b) + b * (dls / t_avg)))
+            )
+            if self._tombstone_ids is not None and self._tombstone_ids.size:
+                keep = ~np.isin(docs, self._tombstone_ids)
+                docs, contrib = docs[keep], contrib[keep]
+            for d, c in zip(docs.tolist(), contrib.tolist()):
+                acc[d] = acc.get(d, 0.0) + c
+        if len(acc) < k:
+            return 0.0
+        vals = np.fromiter(acc.values(), dtype=np.float64, count=len(acc))
+        kth = float(np.partition(vals, len(vals) - k)[len(vals) - k])
+        # nudge down by a relative margin far above float reorder error
+        # (~1e-15) so θ₀ stays a strict lower bound even though this sum
+        # order differs from the engine's canonical ascending-term order
+        return kth * (1.0 - 1e-9)
+
+    def search_wand(
+        self,
+        node: P.Node,
+        k: int = 10,
+        n_bins: int | None = None,
+        seed_theta: bool = True,
+    ) -> DataFrame:
         """Top-k via distributed block-max WAND. Supports flat Or/And of
         Terms (the scored-retrieval hot path); other plans fall back to
         :meth:`search`. Rank-identical to the exhaustive path by
-        construction (exact per-bin top-k + global merge)."""
+        construction (exact per-bin top-k + global merge).
+        ``seed_theta`` enables the global-θ first pass (OR mode); after
+        an action, ``self.last_blocks_decoded.value`` reports how many
+        blocks the bins actually decoded."""
         from ..index.build import term_bucket
         from .wand import wand_bin
 
@@ -447,9 +627,17 @@ class IndexReader:
         )
         w_map = dict(weights)
         avg_dl, k1, b = self.avg_dl, self.k1, self.b
+        avg_dls = {t: self.field_avg_dl[self._field_of(t)] for t in weights}
         kk = k
         bw = bin_width
         excl = self._tombstone_ids
+        # global-θ seed (OR mode only: in AND mode a single-term partial
+        # score is NOT a lower bound of any qualifying doc's score, so
+        # seeding could wrongly prune) — every bin starts with skipping
+        # already engaged instead of θ=0
+        theta0 = self._seed_theta(w_map, k) if (mode == "or" and seed_theta) else 0.0
+        blocks_acc = self.spark.sparkContext.accumulator(0)
+        self.last_blocks_decoded = blocks_acc  # .value valid after an action
 
         def run_bin(key, pdf: pd.DataFrame) -> pd.DataFrame:
             (bin_id,) = key
@@ -460,7 +648,13 @@ class IndexReader:
                 per_term.setdefault(d["term"], (w_map[d["term"]], []))[1].append(d)
             for t in w_map:
                 per_term.setdefault(t, (w_map[t], []))
-            top = wand_bin(per_term, lo, hi, kk, avg_dl, k1, b, mode=mode, exclude=excl)
+            stats: dict = {}
+            top = wand_bin(
+                per_term, lo, hi, kk, avg_dl, k1, b,
+                mode=mode, theta0=theta0, exclude=excl, stats=stats,
+                avg_dls=avg_dls,
+            )
+            blocks_acc.add(stats.get("blocks_decoded", 0))
             return pd.DataFrame(
                 {
                     "doc_id": pd.Series([d for d, _ in top], dtype="int64"),

@@ -1,0 +1,585 @@
+"""Noise query-language parser: find / order / return / limit.
+
+A recursive-descent parser for the reference's query surface
+(``/root/reference/src/parser.rs:665-1307``) onto the plan AST
+(:mod:`noise_spark.query.plan`) plus order/return/limit specs executed
+as DataFrame operations. Covered grammar (the fulltext-tier subset —
+binds ``x::[...]`` and geo ``&&`` are out of tier, SURVEY §7):
+
+- ``find {f: ~= "w"}``            stemmed word / phrase (multi-word)
+- ``find {f: ~N= "w1 w2"}``       proximity within N words
+- ``find {f: == <json>}``         exact string / number / bool / null
+- ``find {f: > n}`` (``<, >=, <=``) numeric ranges
+- ``&&``/``,``, ``||``, ``!``, parentheses, ``^N`` boost
+- ``find {}``                     all docs
+- ``params {...}`` + ``@name``    parameters (src/parser.rs:172-215)
+- ``order .f [asc|desc], score() [desc]`` multi-key sort
+- ``return ._id | .f | score() | {k: .f default=<json>, ...} | [.f, .g]
+  | <json literal>``              projection / construction
+- ``limit n``
+
+Legality checks mirror the reference (src/query.rs:220-228,
+repl-tests/not.noise:142-152): an all-negated query and a
+double-nested ``!`` are parse errors with the reference's texts.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field as dc_field
+
+from . import plan as P
+
+__all__ = ["parse_query", "run_query", "ParseError", "QuerySpec"]
+
+
+class ParseError(ValueError):
+    pass
+
+
+ERR_ALL_NOT = (
+    "query cannot be made up of only logical not. "
+    "Must have at least one match clause not negated."
+)
+ERR_DOUBLE_NOT = (
+    'Logical not ("!") is nested inside of another logical not. This is not allowed.'
+)
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<string>"(?:[^"\\]|\\.)*")
+  | (?P<number>-?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?)
+  | (?P<prox>~\d+=)
+  | (?P<op>~=|==|!=|>=|<=|>|<|&&|\|\||[{}\[\]():,!^@]|\.|=)
+  | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
+""",
+    re.VERBOSE,
+)
+
+
+def _tokenize(text: str) -> list[tuple[str, str]]:
+    out = []
+    i = 0
+    while i < len(text):
+        m = _TOKEN_RE.match(text, i)
+        if not m:
+            raise ParseError(f"unexpected character {text[i]!r} at offset {i}")
+        i = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        out.append((kind, m.group()))
+    out.append(("eof", ""))
+    return out
+
+
+# -- return-clause spec -------------------------------------------------------
+
+
+@dataclass
+class RetPath:
+    path: str  # field name, or "_id"
+    default: object = None
+    has_default: bool = False
+
+
+@dataclass
+class RetScore:
+    pass
+
+
+@dataclass
+class RetLiteral:
+    value: object
+
+
+@dataclass
+class RetObject:
+    items: list  # [(key, ret)]
+
+
+@dataclass
+class RetArray:
+    items: list
+
+
+@dataclass
+class QuerySpec:
+    node: P.Node
+    orders: list = dc_field(default_factory=list)  # [("score"|"field", name, asc)]
+    ret: object = None  # None = default ._id
+    limit: int | None = None
+
+
+class _Parser:
+    def __init__(self, tokens: list[tuple[str, str]], params: dict | None, analyzer: str):
+        self.toks = tokens
+        self.i = 0
+        self.params = params or {}
+        self.analyzer = analyzer
+
+    # -- token helpers --------------------------------------------------------
+    def peek(self):
+        return self.toks[self.i]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, value: str):
+        kind, v = self.next()
+        if v != value:
+            raise ParseError(f"expected {value!r}, got {v!r}")
+        return v
+
+    def accept(self, value: str) -> bool:
+        if self.peek()[1] == value:
+            self.i += 1
+            return True
+        return False
+
+    # -- json-ish literals ----------------------------------------------------
+    def literal(self):
+        kind, v = self.peek()
+        if v == "@":
+            self.next()
+            k2, name = self.next()
+            if k2 != "word":
+                raise ParseError("expected parameter name after '@'")
+            if name not in self.params:
+                raise ParseError(f"unbound parameter @{name}")
+            return self.params[name]
+        if kind == "string":
+            self.next()
+            return json.loads(v)
+        if kind == "number":
+            self.next()
+            return json.loads(v)
+        if v in ("true", "false", "null"):
+            self.next()
+            return {"true": True, "false": False, "null": None}[v]
+        if v == "{":
+            # literal empty object only (reference: return {} literals)
+            self.next()
+            self.expect("}")
+            return {}
+        if v == "[":
+            self.next()
+            self.expect("]")
+            return []
+        raise ParseError(f"expected a literal, got {v!r}")
+
+    # -- find clause ----------------------------------------------------------
+    def parse(self) -> QuerySpec:
+        if self.peek()[1] == "params":
+            self.next()
+            self.params = {**self._json_object(), **self.params}
+        self.expect("find")
+        node = self.object()
+        self._check_not_legality(node)
+        spec = QuerySpec(node=node)
+        if self.accept("order"):
+            spec.orders = self.order_keys()
+        if self.accept("return"):
+            spec.ret = self.ret_expr()
+        if self.accept("limit"):
+            kind, v = self.next()
+            if kind != "number" or not v.lstrip("-").isdigit() or int(v) <= 0:
+                raise ParseError("limit must be a positive integer")
+            spec.limit = int(v)
+        if self.peek()[0] != "eof":
+            raise ParseError(f"trailing input at {self.peek()[1]!r}")
+        return spec
+
+    def _json_object(self) -> dict:
+        # params {...}: a real JSON object — re-lex the balanced braces
+        kind, v = self.peek()
+        if v != "{":
+            raise ParseError("expected '{' after params")
+        depth = 0
+        parts = []
+        while True:
+            kind, v = self.next()
+            if kind == "eof":
+                raise ParseError("unterminated params object")
+            parts.append(v)
+            if v == "{":
+                depth += 1
+            elif v == "}":
+                depth -= 1
+                if depth == 0:
+                    break
+            elif v == ",":
+                pass
+        try:
+            return json.loads(" ".join(p if p != ":" else ": " for p in parts))
+        except json.JSONDecodeError as e:
+            raise ParseError(f"invalid params JSON: {e}") from None
+
+    def object(self) -> P.Node:
+        self.expect("{")
+        if self.accept("}"):
+            return P.AllDocs()
+        node = self.bool_expr()
+        self.expect("}")
+        return node
+
+    def bool_expr(self) -> P.Node:
+        left = self.and_expr()
+        parts = [left]
+        while self.accept("||"):
+            parts.append(self.and_expr())
+        if len(parts) == 1:
+            return left
+        for p in parts:
+            if isinstance(p, _Negated):
+                raise ParseError(ERR_ALL_NOT)
+        return P.Or(tuple(parts))
+
+    def and_expr(self) -> P.Node:
+        parts = [self.unary_expr()]
+        while self.peek()[1] in ("&&", ","):
+            self.next()
+            parts.append(self.unary_expr())
+        pos = [p for p in parts if not isinstance(p, _Negated)]
+        neg = [p.inner for p in parts if isinstance(p, _Negated)]
+        if not pos:
+            if len(parts) == 1:
+                return parts[0]  # legality decided at a higher level
+            raise ParseError(ERR_ALL_NOT)
+        node = pos[0] if len(pos) == 1 else P.And(tuple(pos))
+        for n in neg:
+            node = P.Not(node, n)
+        return node
+
+    def unary_expr(self) -> P.Node:
+        if self.accept("!"):
+            inner = self.unary_expr()
+            if isinstance(inner, _Negated) or _contains_negation(inner):
+                raise ParseError(ERR_DOUBLE_NOT)
+            return _Negated(inner)
+        if self.accept("("):
+            node = self.bool_expr()
+            self.expect(")")
+            return self._boost(node)
+        return self.clause()
+
+    def _boost(self, node: P.Node) -> P.Node:
+        if self.accept("^"):
+            kind, v = self.next()
+            if kind != "number":
+                raise ParseError("expected a number after '^'")
+            mult = float(v)
+            node = _apply_boost(node, mult)
+        return node
+
+    def clause(self) -> P.Node:
+        kind, fname = self.next()
+        if kind != "word":
+            raise ParseError(f"expected a field name, got {fname!r}")
+        self.expect(":")
+        k, op = self.peek()
+        if op == "~=":
+            self.next()
+            return self._boost(self._word_clause(fname, self.literal(), window=None))
+        if k == "prox":
+            self.next()
+            window = int(op[1:-1])
+            return self._boost(self._word_clause(fname, self.literal(), window=window))
+        if op == "==":
+            self.next()
+            val = self.literal()
+            if isinstance(val, str) and fname == "text":
+                return self._boost(P.ExactMatch(val))
+            return self._boost(P.FieldEq(fname, val))
+        if op == "!=":
+            self.next()
+            val = self.literal()
+            return _Negated(
+                P.ExactMatch(val) if isinstance(val, str) and fname == "text" else P.FieldEq(fname, val)
+            )
+        if op in (">", "<", ">=", "<="):
+            self.next()
+            val = self.literal()
+            if not isinstance(val, (int, float)) or isinstance(val, bool):
+                raise ParseError(f"range operator {op} needs a number, got {val!r}")
+            if op == ">":
+                return self._boost(P.FieldRange(fname, lo=val, lo_inclusive=False))
+            if op == ">=":
+                return self._boost(P.FieldRange(fname, lo=val))
+            if op == "<":
+                return self._boost(P.FieldRange(fname, hi=val, hi_inclusive=False))
+            return self._boost(P.FieldRange(fname, hi=val))
+        raise ParseError(f"expected a comparison operator, got {op!r}")
+
+    def _word_clause(self, fname: str, val, window: int | None) -> P.Node:
+        if not isinstance(val, str):
+            raise ParseError("word match (~=) needs a string")
+        from ..analysis.tokenizer import analyze
+
+        terms = tuple(t for _, t in analyze(val, self.analyzer))
+        if not terms:
+            raise ParseError(f"no terms in {val!r}")
+        fld = None if fname == "text" else fname
+        if window is not None:
+            return P.Proximity(terms, window=window, field=fld)
+        if len(terms) == 1:
+            return P.Term(terms[0], field=fld)
+        return P.Phrase(terms, field=fld)
+
+    def _check_not_legality(self, node: P.Node):
+        if isinstance(node, _Negated):
+            raise ParseError(ERR_ALL_NOT)
+
+    # -- order / return --------------------------------------------------------
+    def order_keys(self) -> list:
+        keys = []
+        while True:
+            kind, v = self.peek()
+            if v == "score":
+                self.next()
+                self.expect("(")
+                self.expect(")")
+                asc = True
+                if self.peek()[1] in ("asc", "desc"):
+                    asc = self.next()[1] == "asc"
+                keys.append(("score", "score", asc))
+            elif v == ".":
+                self.next()
+                k2, name = self.next()
+                if k2 != "word":
+                    raise ParseError("expected a field name after '.'")
+                asc = True
+                if self.peek()[1] in ("asc", "desc"):
+                    asc = self.next()[1] == "asc"
+                keys.append(("field", name, asc))
+            else:
+                raise ParseError(f"expected an order key, got {v!r}")
+            if not self.accept(","):
+                return keys
+
+    def ret_expr(self):
+        kind, v = self.peek()
+        if v == ".":
+            self.next()
+            k2, name = self.peek()
+            if k2 == "word":
+                self.next()
+                ret = RetPath(name)
+            else:
+                ret = RetPath("_id")  # bare `.` → whole doc → our doc id surface
+            if self.accept("default"):
+                # reference syntax: default=<json> (src/parser.rs:235-246)
+                self.expect("=")
+                ret.default = self.literal()
+                ret.has_default = True
+            return ret
+        if v == "_id":
+            self.next()
+            return RetPath("_id")
+        if v == "score":
+            self.next()
+            self.expect("(")
+            self.expect(")")
+            return RetScore()
+        if v == "{":
+            nxt = self.toks[self.i + 1][1]
+            if nxt == "}":
+                self.next(); self.next()
+                return RetLiteral({})
+            self.next()
+            items = []
+            while True:
+                k2, key = self.next()
+                if k2 != "word" and k2 != "string":
+                    raise ParseError(f"expected a return key, got {key!r}")
+                if k2 == "string":
+                    key = json.loads(key)
+                self.expect(":")
+                items.append((key, self.ret_expr()))
+                if not self.accept(","):
+                    break
+            self.expect("}")
+            return RetObject(items)
+        if v == "[":
+            if self.toks[self.i + 1][1] == "]":
+                self.next(); self.next()
+                return RetLiteral([])
+            self.next()
+            items = [self.ret_expr()]
+            while self.accept(","):
+                items.append(self.ret_expr())
+            self.expect("]")
+            return RetArray(items)
+        return RetLiteral(self.literal())
+
+
+@dataclass(frozen=True)
+class _Negated(P.Node):
+    """Parser-internal marker for a negated subtree; resolved into
+    binary ``P.Not`` at the enclosing AND (the reference's NotFilter
+    wraps its sibling scope, src/filters.rs:944-1066)."""
+
+    inner: P.Node
+
+
+def _contains_negation(node: P.Node) -> bool:
+    if isinstance(node, (_Negated, P.Not)):
+        return True
+    for c in getattr(node, "children", ()) or ():
+        if _contains_negation(c):
+            return True
+    return False
+
+
+def _apply_boost(node: P.Node, mult: float) -> P.Node:
+    from dataclasses import replace
+
+    if isinstance(node, (P.Term, P.Or, P.And, P.Phrase, P.Proximity)):
+        return replace(node, boost=node.boost * mult)
+    if isinstance(node, _Negated):
+        return _Negated(_apply_boost(node.inner, mult))
+    if isinstance(node, P.Not):
+        return replace(node, positive=_apply_boost(node.positive, mult))
+    return node  # binary-scored predicates ignore boost (score 1.0)
+
+
+def parse_query(text: str, params: dict | None = None, analyzer: str = "porter") -> QuerySpec:
+    """Parse a Noise-style query string into a :class:`QuerySpec`."""
+    spec = _Parser(_tokenize(text), params, analyzer).parse()
+    if isinstance(spec.node, _Negated):
+        raise ParseError(ERR_ALL_NOT)
+    return spec
+
+
+# -- execution ----------------------------------------------------------------
+
+
+def _ret_column(ret, F, available: set):
+    if isinstance(ret, RetPath):
+        name = "doc_id" if ret.path == "_id" else ret.path
+        if name not in available:
+            if isinstance(ret, RetPath) and ret.has_default:
+                return F.lit(ret.default)
+            raise ParseError(f"unknown return field .{ret.path}")
+        col = F.col(name)
+        if ret.has_default:
+            col = F.coalesce(col, F.lit(ret.default))
+        return col
+    if isinstance(ret, RetScore):
+        return F.col("score")
+    if isinstance(ret, RetLiteral):
+        if ret.value == {} or ret.value == []:
+            return F.struct() if ret.value == {} else F.array()
+        return F.lit(ret.value)
+    if isinstance(ret, RetObject):
+        return F.struct(*[_ret_column(r, F, available).alias(k) for k, r in ret.items])
+    if isinstance(ret, RetArray):
+        # constructed arrays may mix types ([.lang, score()]); the
+        # reference renders results as JSON text, so string-render the
+        # elements rather than let Spark coerce to one numeric type
+        return F.array(*[_ret_column(r, F, available).cast("string") for r in ret.items])
+    raise TypeError(type(ret))
+
+
+def run_query(reader, text: str, params: dict | None = None, default_k: int = 10):
+    """Parse and execute a query against an :class:`IndexReader`,
+    returning a DataFrame shaped by the return clause.
+
+    Scoring engages when the query orders by or returns ``score()``
+    (top-k through the WAND/exhaustive planner); otherwise the match
+    set is binary and ordered by the order clause (default: doc_id,
+    the reference's seq order)."""
+    from pyspark.sql import functions as F
+
+    spec = parse_query(text, params, analyzer=getattr(reader, "analyzer", "porter"))
+    wants_score = any(k[0] == "score" for k in spec.orders) or _ret_uses_score(spec.ret)
+    limit = spec.limit or default_k
+
+    if wants_score:
+        scored = reader.query(spec.node, k=limit if _score_is_primary(spec) else 1_000_000)
+        base = scored
+    else:
+        base = reader._match_set(spec.node).withColumn("score", F.lit(1.0))
+
+    order_fields = {name for kind, name, _ in spec.orders if kind == "field"}
+    ret_fields: set = set()
+    _collect_ret_fields(spec.ret, ret_fields)
+    need_fields = (order_fields | ret_fields) - {"doc_id"}  # always present
+    order_fields = order_fields - {"doc_id"}
+    docs_cols = set(reader.docs.columns) if need_fields else set()
+    join_cols = sorted(f for f in need_fields if f in docs_cols and f != "doc_id")
+    missing = need_fields - set(join_cols)
+    if missing & order_fields:
+        raise ParseError(f"unknown order field(s): {sorted(missing & order_fields)}")
+    if missing:
+        # a missing RETURN path is only legal with a default= (the
+        # reference fills `default` for absent keypaths, returnable.rs:298)
+        _check_missing_ok(spec.ret, missing)
+    if join_cols:
+        base = base.join(reader.docs.select("doc_id", *join_cols), "doc_id", "left")
+
+    order_cols = []
+    for kind, name, asc in spec.orders:
+        col = F.col("score") if kind == "score" else F.col(name)
+        order_cols.append(col.asc() if asc else col.desc())
+    if not order_cols:
+        order_cols = [F.desc("score"), F.asc("doc_id")] if wants_score else [F.asc("doc_id")]
+    else:
+        order_cols.append(F.asc("doc_id"))  # deterministic tie-break
+    out = base.orderBy(*order_cols)
+    if spec.limit is not None:
+        out = out.limit(spec.limit)
+    elif wants_score:
+        out = out.limit(default_k)
+
+    available = set(out.columns) | {"doc_id"}
+    if spec.ret is None:
+        return out.select("doc_id")
+    return out.select(_ret_column(spec.ret, F, available).alias("result"))
+
+
+def _score_is_primary(spec: QuerySpec) -> bool:
+    return not spec.orders or spec.orders[0][0] == "score"
+
+
+def _ret_uses_score(ret) -> bool:
+    if isinstance(ret, RetScore):
+        return True
+    if isinstance(ret, RetObject):
+        return any(_ret_uses_score(r) for _, r in ret.items)
+    if isinstance(ret, RetArray):
+        return any(_ret_uses_score(r) for r in ret.items)
+    return False
+
+
+def _collect_ret_fields(ret, out: set):
+    if isinstance(ret, RetPath) and ret.path != "_id":
+        out.add(ret.path)
+    elif isinstance(ret, RetObject):
+        for _, r in ret.items:
+            _collect_ret_fields(r, out)
+    elif isinstance(ret, RetArray):
+        for r in ret.items:
+            _collect_ret_fields(r, out)
+
+
+def _check_missing_ok(ret, missing: set):
+    bad = set()
+
+    def walk(r):
+        if isinstance(r, RetPath) and r.path in missing and not r.has_default:
+            bad.add(r.path)
+        elif isinstance(r, RetObject):
+            for _, x in r.items:
+                walk(x)
+        elif isinstance(r, RetArray):
+            for x in r.items:
+                walk(x)
+
+    walk(ret)
+    if bad:
+        raise ParseError(f"unknown return field(s): {sorted(bad)}")

@@ -34,8 +34,15 @@ class Node:
 
 @dataclass(frozen=True)
 class Term(Node):
+    """Stemmed-word match, optionally scoped to an indexed field — the
+    reference's keypath-scoped ``{f: ~= "w"}`` (keypaths become field
+    columns per SURVEY §1.5; key layout ``W<keypath>!<stem>``,
+    src/key_builder.rs:64-82). ``field=None`` = the index's default
+    (first) field."""
+
     term: str
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -60,6 +67,7 @@ class Not(Node):
 class Phrase(Node):
     terms: tuple
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -67,6 +75,7 @@ class Proximity(Node):
     terms: tuple
     window: int
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)

@@ -48,7 +48,9 @@ class _Cursor:
         k1: float,
         b: float,
         exclude: np.ndarray | None = None,
+        stats: dict | None = None,
     ):
+        self.stats = stats
         # blocks sorted by first_doc; ranges are disjoint per term
         self.term = term
         self.weight = weight
@@ -66,8 +68,14 @@ class _Cursor:
         self._enter_block()
 
     def _enter_block(self):
-        """Position at the first in-range doc of the current/next blocks;
-        decode lazily only when a block actually overlaps [lo, hi)."""
+        """Position at the first in-range doc of the current/next blocks.
+        Only the docID stream is decoded here (needed for pivoting); the
+        scoring payload (tfs/dls → tf_norm) is deferred until a doc in
+        this block is actually EVALUATED — blocks that are only stepped
+        over for pivot selection, or whose UB falls below θ, never pay
+        the payload decode. ``stats['blocks_decoded']`` counts payload
+        decodes (the scoring work BMW skips); ``blocks_positioned``
+        counts docID decodes."""
         while self.bi < len(self.blocks):
             blk = self.blocks[self.bi]
             if blk["last_doc"] < self.lo:
@@ -75,6 +83,8 @@ class _Cursor:
                 continue
             if blk["first_doc"] >= self.hi:
                 break
+            if self.stats is not None:
+                self.stats["blocks_positioned"] = self.stats.get("blocks_positioned", 0) + 1
             if blk.get("codec") == "for":
                 docs = codec.for_decode(blk["docs"])
             else:
@@ -85,15 +95,23 @@ class _Cursor:
             if not mask.any():
                 self.bi += 1
                 continue
-            tfs = codec.varbyte_decode(blk["tfs"]).astype(np.float64)
-            dls = codec.varbyte_decode(blk["dls"]).astype(np.float64)
-            k1, b = self.k1, self.b
-            tf_norm = (tfs * (k1 + 1.0)) / (tfs + k1 * ((1.0 - b) + b * (dls / self.avg_dl)))
             self._docs = docs[mask]
-            self._contrib = (self.weight * tf_norm)[mask]
+            self._blk = blk
+            self._mask = mask
+            self._contrib = None  # decoded lazily on first evaluation
             self._pos = 0
             return
         self._docs = None
+
+    def _decode_payload(self):
+        blk = self._blk
+        if self.stats is not None:
+            self.stats["blocks_decoded"] = self.stats.get("blocks_decoded", 0) + 1
+        tfs = codec.varbyte_decode(blk["tfs"]).astype(np.float64)
+        dls = codec.varbyte_decode(blk["dls"]).astype(np.float64)
+        k1, b = self.k1, self.b
+        tf_norm = (tfs * (k1 + 1.0)) / (tfs + k1 * ((1.0 - b) + b * (dls / self.avg_dl)))
+        self._contrib = (self.weight * tf_norm)[self._mask]
 
     @property
     def doc(self) -> int:
@@ -101,6 +119,8 @@ class _Cursor:
 
     @property
     def contrib(self) -> float:
+        if self._contrib is None:
+            self._decode_payload()
         return float(self._contrib[self._pos])
 
     def block_ub(self, d: int) -> float:
@@ -150,15 +170,27 @@ def wand_bin(
     mode: str = "or",
     theta0: float = 0.0,
     exclude: "np.ndarray | None" = None,
+    stats: dict | None = None,
+    avg_dls: "dict[str, float] | None" = None,
 ) -> list[tuple[int, float]]:
     """Exact top-k of docs in [lo, hi) for the given terms.
 
     ``term_blocks``: term → (weight, block rows). ``mode='and'`` requires
     all terms present. ``exclude``: tombstoned docIDs (masked at block
-    decode). Returns [(doc_id, score)] sorted (-score, doc).
+    decode). ``theta0``: a global score threshold that is a PROVEN lower
+    bound on the kth-best overall score (seeded from a driver-side first
+    pass over the highest-UB blocks) — with it, skipping engages from the
+    first pivot instead of only after the bin's own heap fills; docs
+    below θ₀ may be dropped entirely, which is safe because they cannot
+    make the global top-k. ``stats``: optional dict accumulating
+    ``blocks_decoded``. Returns [(doc_id, score)] sorted (-score, doc).
     """
     cursors = [
-        _Cursor(t, w, blocks, lo, hi, avg_dl, k1, b, exclude=exclude)
+        _Cursor(
+            t, w, blocks, lo, hi,
+            avg_dls.get(t, avg_dl) if avg_dls else avg_dl,  # per-FIELD avg_dl
+            k1, b, exclude=exclude, stats=stats,
+        )
         for t, (w, blocks) in term_blocks.items()
         if blocks
     ]
@@ -187,7 +219,9 @@ def wand_bin(
                 if c.doc == _Cursor.INF:
                     break
                 acc += c.term_ub
-                if len(heap) < k or acc >= theta:
+                # with a seeded θ₀ the threshold binds even before this
+                # bin's heap fills (θ₀ is a global kth-best lower bound)
+                if (len(heap) < k and theta <= 0.0) or acc >= theta:
                     pivot_idx = i
                     break
             if pivot_idx < 0:
@@ -214,7 +248,7 @@ def wand_bin(
             bub = 0.0
             for c in cursors[: prefix_end + 1]:
                 bub += c.block_ub(pivot_doc)
-            if len(heap) >= k and bub < theta:
+            if bub < theta:  # θ > 0 iff seeded or heap full (skip-safe)
                 # BMW skip: jump past the smallest involved block boundary,
                 # but never past the next cursor's doc — a new term enters
                 # the candidate set there (Ding & Suel's GetNewCandidate)
@@ -244,7 +278,8 @@ def wand_bin(
             elif cand > heap[0]:
                 heapq.heapreplace(heap, cand)
             if len(heap) >= k:
-                theta = heap[0][0]
+                # evaluated docs may score below a seeded θ₀ — never lower θ
+                theta = max(theta, heap[0][0])
             for c in cursors:
                 if c.doc == pivot_doc:
                     c.next_geq(pivot_doc + 1)

@@ -1,0 +1,177 @@
+"""Noise query-language parser: golden queries incl. the reference's
+two NOT-legality errors (repl-tests/not.noise:142-152) and
+parser→plan→engine equivalence."""
+
+import pytest
+
+from noise_spark.index.build import BuildConfig, build_index
+from noise_spark.query import IndexReader
+from noise_spark.query import plan as P
+from noise_spark.query.parser import (
+    ERR_ALL_NOT,
+    ERR_DOUBLE_NOT,
+    ParseError,
+    parse_query,
+    run_query,
+)
+
+DOCS = [
+    (0, "the shuffle moves data between executors", "en"),
+    (1, "broadcast joins avoid the shuffle entirely", "en"),
+    (2, "term frequency and document length drive bm25", "de"),
+    (3, "sort based shuffle writes spill files", "de"),
+    (4, "partition counts matter for shuffle heavy jobs", "fr"),
+]
+
+
+@pytest.fixture(scope="module")
+def qreader(spark, tmp_path_factory):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string, lang string")
+    idx = str(tmp_path_factory.mktemp("ql") / "idx")
+    build_index(
+        spark, df, idx, BuildConfig(analyzer="whitespace", doc_id_col="doc_id", block_size=4)
+    )
+    return IndexReader(spark, idx)
+
+
+def ids(df):
+    col = df.columns[0]
+    return [r[col] for r in df.collect()]
+
+
+# -- plan construction golden tests (no Spark needed) --------------------------
+
+def test_parse_single_word():
+    spec = parse_query('find {text: ~= "shuffle"}', analyzer="whitespace")
+    assert spec.node == P.Term("shuffle")
+
+
+def test_parse_phrase_and_proximity():
+    spec = parse_query('find {text: ~= "broadcast joins"}', analyzer="whitespace")
+    assert spec.node == P.Phrase(("broadcast", "joins"))
+    spec = parse_query('find {text: ~3= "shuffle data"}', analyzer="whitespace")
+    assert spec.node == P.Proximity(("shuffle", "data"), window=3)
+
+
+def test_parse_boolean_tree_with_parens():
+    spec = parse_query(
+        'find {text: ~= "a" && (text: ~= "b" || text: ~= "c")}', analyzer="whitespace"
+    )
+    assert spec.node == P.And((P.Term("a"), P.Or((P.Term("b"), P.Term("c")))))
+
+
+def test_parse_boost_and_field_predicates():
+    spec = parse_query(
+        'find {text: ~= "shuffle"^2.5 && lang: == "de" && doc_id: >= 1}',
+        analyzer="whitespace",
+    )
+    assert spec.node == P.And(
+        (P.Term("shuffle", boost=2.5), P.FieldEq("lang", "de"), P.FieldRange("doc_id", lo=1))
+    )
+
+
+def test_parse_negation_into_binary_not():
+    spec = parse_query(
+        'find {text: ~= "shuffle" && !text: ~= "broadcast"}', analyzer="whitespace"
+    )
+    assert spec.node == P.Not(P.Term("shuffle"), P.Term("broadcast"))
+
+
+def test_parse_all_docs_and_clauses():
+    spec = parse_query(
+        "find {} order .lang desc, score() limit 7", analyzer="whitespace"
+    )
+    assert spec.node == P.AllDocs()
+    assert spec.orders == [("field", "lang", False), ("score", "score", True)]
+    assert spec.limit == 7
+
+
+def test_parse_params():
+    spec = parse_query(
+        'params {"w": "shuffle", "n": 2} find {text: ~= @w && doc_id: < @n}',
+        analyzer="whitespace",
+    )
+    assert spec.node == P.And((P.Term("shuffle"), P.FieldRange("doc_id", hi=2, hi_inclusive=False)))
+    with pytest.raises(ParseError, match="unbound parameter"):
+        parse_query("find {text: ~= @nope}", analyzer="whitespace")
+
+
+def test_error_all_negated():
+    with pytest.raises(ParseError) as e:
+        parse_query('find {!text: ~= "fox"}', analyzer="whitespace")
+    assert ERR_ALL_NOT in str(e.value)
+    with pytest.raises(ParseError) as e:
+        parse_query('find {!text: ~= "fox" && !text: == "foo"}', analyzer="whitespace")
+    assert ERR_ALL_NOT in str(e.value)
+
+
+def test_error_double_negation():
+    with pytest.raises(ParseError) as e:
+        parse_query('find {text: ~= "a" && !(!text: ~= "fox")}', analyzer="whitespace")
+    assert ERR_DOUBLE_NOT in str(e.value)
+    with pytest.raises(ParseError) as e:
+        parse_query('find {text: ~= "a" && !(text: ~= "b" && !text: ~= "c")}', analyzer="whitespace")
+    assert ERR_DOUBLE_NOT in str(e.value)
+
+
+def test_error_shapes():
+    for bad in (
+        "find {text ~= \"x\"}",      # missing colon
+        'find {text: ~= "x"} limit 0',
+        'find {text: >= "str"}',
+        "find {text: }",
+    ):
+        with pytest.raises(ParseError):
+            parse_query(bad, analyzer="whitespace")
+
+
+# -- end-to-end: parse → plan → engine -----------------------------------------
+
+def test_run_word_query_matches_engine(qreader):
+    got = run_query(qreader, 'find {text: ~= "shuffle"} order score() desc limit 3')
+    want = qreader.query(P.Term("shuffle"), k=3)
+    assert ids(got) == [r["doc_id"] for r in want.collect()]
+
+
+def test_run_phrase_and_not(qreader):
+    got = ids(run_query(qreader, 'find {text: ~= "the shuffle"}'))
+    assert set(got) == {0, 1}
+    got = ids(run_query(qreader, 'find {text: ~= "shuffle" && !text: ~= "broadcast"}'))
+    assert set(got) == {0, 3, 4}
+
+
+def test_run_field_predicates_and_order(qreader):
+    got = run_query(
+        qreader, 'find {text: ~= "shuffle" && lang: == "de"} order .doc_id desc'
+    )
+    assert ids(got) == [3]
+    got = run_query(qreader, "find {doc_id: >= 2 && doc_id: < 4} order .doc_id asc")
+    assert ids(got) == [2, 3]
+
+
+def test_run_return_object_with_default(qreader):
+    rows = run_query(
+        qreader,
+        'find {text: ~= "bm25"} return {id: ._id, lg: .lang, x: .nope default=42}',
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]["result"]
+    assert r["id"] == 2 and r["lg"] == "de" and r["x"] == 42
+    # missing field WITHOUT default is an error
+    with pytest.raises(ParseError, match="unknown return field"):
+        run_query(qreader, 'find {text: ~= "bm25"} return .nope')
+
+
+def test_run_return_score_and_array(qreader):
+    rows = run_query(
+        qreader, 'find {text: ~= "bm25"} return [.lang, score()]'
+    ).collect()
+    assert rows[0]["result"][0] == "de"
+    assert float(rows[0]["result"][1]) > 0
+
+
+def test_run_exact_match_binary_score(qreader):
+    rows = run_query(
+        qreader, f'find {{text: == "{DOCS[2][1]}"}} return {{i: ._id, s: score()}}'
+    ).collect()
+    assert [(r["result"]["i"], r["result"]["s"]) for r in rows] == [(2, 1.0)]

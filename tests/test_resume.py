@@ -26,24 +26,27 @@ def test_resume_after_crash(spark, tmp_path):
     pages = generate_pages(spark, 300, seed=42, partitions=4)
 
     with pytest.raises(RuntimeError, match="injected failure"):
-        build_index(spark, pages, idx_dir, BuildConfig(), fail_after_stage="postings")
+        build_index(spark, pages, idx_dir, BuildConfig(), fail_after_stage="term_stats")
 
     cat = IndexCatalog(idx_dir)
     assert cat.stage_complete("docs")
-    assert cat.stage_complete("postings")
-    assert not cat.stage_complete("term_stats")
+    assert cat.stage_complete("term_stats")
+    assert not cat.stage_complete("corpus_stats")
     assert not cat.stage_complete("segments")
+    # single-copy invariant: raw postings are never materialized on disk
+    assert not os.path.exists(os.path.join(idx_dir, "postings"))
 
     docs_before = _stage_mtimes(idx_dir, "docs")
-    postings_before = _stage_mtimes(idx_dir, "postings")
+    stats_before = _stage_mtimes(idx_dir, "term_stats")
 
     metrics = build_index(spark, pages, idx_dir, BuildConfig())
     # committed stages were skipped, not recomputed
     assert metrics["stages"]["docs"].get("skipped") is True
-    assert metrics["stages"]["postings"].get("skipped") is True
+    assert metrics["stages"]["term_stats"].get("skipped") is True
     assert _stage_mtimes(idx_dir, "docs") == docs_before
-    assert _stage_mtimes(idx_dir, "postings") == postings_before
+    assert _stage_mtimes(idx_dir, "term_stats") == stats_before
     assert cat.stage_complete("segments")
+    assert not os.path.exists(os.path.join(idx_dir, "postings"))
 
     # resumed index == uninterrupted build
     idx2 = str(tmp_path / "idx2")
@@ -56,7 +59,7 @@ def test_resume_after_crash(spark, tmp_path):
 def test_lineage_rows_recorded(spark, small_index):
     idx_dir, _ = small_index
     cat = IndexCatalog(idx_dir)
-    for stage in ("docs", "postings", "term_stats", "corpus_stats", "segments"):
+    for stage in ("docs", "term_stats", "corpus_stats", "segments"):
         info = cat.stage_info(stage)
         assert info is not None, stage
         assert info["rows"] > 0

@@ -84,6 +84,64 @@ def test_wand_bin_unit_pruning():
         assert gs == pytest.approx(ws, rel=1e-12)
 
 
+def test_seeded_theta_decodes_fewer_blocks(reader):
+    """Global-θ seeding must keep results identical while decoding
+    measurably fewer blocks than θ=0 (skipping engages from the first
+    pivot instead of only after each bin's heap fills)."""
+    # skewed query: rare high-idf terms (df≈5) + a Zipf-head term — the
+    # shape where θ binds. θ₀ lands in the rare tier, so bins without
+    # rare docs evaluate nothing; unseeded, every bin first fills its own
+    # heap from common-term blocks.
+    node = P.Or((P.Term("brown"), P.Term("fox"), P.Term("w00000")))
+    unseeded = [
+        (r["doc_id"], r["score"])
+        for r in reader.search_wand(node, k=5, n_bins=7, seed_theta=False).collect()
+    ]
+    blocks_unseeded = reader.last_blocks_decoded.value
+    seeded = [
+        (r["doc_id"], r["score"])
+        for r in reader.search_wand(node, k=5, n_bins=7, seed_theta=True).collect()
+    ]
+    blocks_seeded = reader.last_blocks_decoded.value
+    assert seeded == unseeded
+    assert blocks_seeded < blocks_unseeded, (blocks_seeded, blocks_unseeded)
+
+
+def test_wand_bin_theta0_exact():
+    """A seeded θ₀ at (or just below) the true kth score must not change
+    the result; a θ₀ above it may drop docs — never produced by
+    _seed_theta, but assert the lower-bound contract boundary."""
+    rng = np.random.default_rng(3)
+    avg_dl, k1, b = 80.0, 1.2, 0.75
+    ids = np.sort(rng.choice(1000, size=400, replace=False))
+    tfs = rng.integers(1, 6, size=ids.size)
+    dls = rng.integers(40, 160, size=ids.size)
+    rows = []
+    for s in range(0, ids.size, 64):
+        e = min(s + 64, ids.size)
+        rows.append(
+            {
+                "first_doc": int(ids[s]),
+                "last_doc": int(ids[e - 1]),
+                "docs": codec.delta_encode(ids[s:e]),
+                "tfs": codec.varbyte_encode(tfs[s:e].astype(np.uint64)),
+                "dls": codec.varbyte_encode(dls[s:e].astype(np.uint64)),
+                "max_tf": int(tfs[s:e].max()),
+                "min_dl": int(dls[s:e].min()),
+            }
+        )
+    terms = {"t": (1.5, rows)}
+    base = wand_bin(terms, 0, 1000, 10, avg_dl, k1, b, mode="or")
+    kth = base[-1][1]
+    stats: dict = {}
+    seeded = wand_bin(
+        terms, 0, 1000, 10, avg_dl, k1, b, mode="or",
+        theta0=kth * (1.0 - 1e-9), stats=stats,
+    )
+    assert seeded == base
+    assert stats["blocks_decoded"] >= 1
+
+
 def test_query_planner_routes(reader):
     """query() must route flat scored plans through WAND and the rest
     through the exhaustive path, rank-identically."""
