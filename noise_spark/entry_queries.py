@@ -998,6 +998,152 @@ def dp_embed_neardup_pairs(spark, sf_dir):
     )
 
 
+@q(
+    "ft_bool_tree_topk",
+    f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+              (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avg_dl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN ('dup', 'slow', 'merge') GROUP BY doc_id, term),
+dfv AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (st.n_docs - dfv.df + 0.5) / (dfv.df + 0.5))
+         * (tf.tf * ({K1} + 1.0))
+         / (tf.tf + {K1} * ((1.0 - {B}) + {B} * (dl.dl::DOUBLE / st.avg_dl))) AS c
+  FROM tf JOIN dfv USING (term) JOIN dl USING (doc_id), st
+),
+scores AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id),
+m AS (
+  SELECT doc_id FROM tok GROUP BY doc_id
+  HAVING sum(CASE WHEN term = 'dup' THEN 1 ELSE 0 END) > 0
+     AND (sum(CASE WHEN term = 'slow' THEN 1 ELSE 0 END) > 0
+          OR sum(CASE WHEN term = 'merge' THEN 1 ELSE 0 END) > 0)
+     AND sum(CASE WHEN term = 'big' THEN 1 ELSE 0 END) = 0
+)
+SELECT doc_id, round(score, 6) AS score FROM scores JOIN m USING (doc_id)
+ORDER BY score DESC, doc_id LIMIT 10
+""",
+)
+def ft_bool_tree_topk(spark, sf_dir):
+    # nested boolean tree: dup && (slow || merge) && !big, BM25-scored —
+    # deeper than flat And/Or (the reference's obool nesting,
+    # src/parser.rs:763-800)
+    r = doc_index(spark, sf_dir)
+    node = P.Not(
+        P.And((P.Term("dup"), P.Or((P.Term("slow"), P.Term("merge"))))),
+        P.Term("big"),
+    )
+    return _topk_df(r.search(node, k=10))
+
+
+@q(
+    "ft_return_object",
+    f"""
+WITH topk AS ({_bm25_sql(['dup'])})
+SELECT [printf('doc:%012d', t.doc_id), d.lang, '??'] AS result
+FROM topk t JOIN documents d USING (doc_id)
+ORDER BY t.score DESC, t.doc_id LIMIT 10
+""",
+)
+def ft_return_object(spark, sf_dir):
+    # return-clause CONSTRUCTION through the parser: array building +
+    # default= for a missing path (src/returnable.rs:119-208, :298);
+    # string-rendered elements (the reference renders results as JSON)
+    from .query.parser import run_query
+
+    r = doc_index(spark, sf_dir)
+    return run_query(
+        r,
+        'find {text: ~= "dup"} order score() desc '
+        'return [.url, .lang, .nope default="??"] limit 10',
+    )
+
+
+@q(
+    "dp_ngram_jaccard",
+    """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks),
+sh AS (SELECT DISTINCT doc_id, array_to_string(t[CAST(i AS INT):CAST(i AS INT)+2], ' ') AS s FROM idx),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT id_a, id_b, round(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = inter.id_a JOIN sz sb ON sb.doc_id = inter.id_b
+WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.8
+ORDER BY id_a, id_b
+""",
+)
+def dp_ngram_jaccard(spark, sf_dir):
+    # exact 3-gram Jaccard near-dup pairs; the shared-shingle join IS
+    # the blocking (no cross join)
+    from .datapipe.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, n=3, threshold=0.8).orderBy("id_a", "id_b")
+
+
+def _ann_lsh_sql(dim: int = 64, n_planes: int = 6, seed: int = 42) -> str:
+    """Oracle for the LSH-bucketed ANN path: the SAME hyperplanes (seeded
+    numpy, float literals round-trip exactly), the same hamming<=1 probe
+    set, exact cosine rank within candidates."""
+    from .datapipe.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    def vec_lit(h):
+        return "[" + ", ".join(repr(float(x)) for x in h) + "]"
+
+    bucket_expr = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {vec_lit(h)}) >= 0 THEN {2 ** i} ELSE 0 END)"
+        for i, h in enumerate(planes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bucket_expr} AS bucket FROM e),
+q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0),
+cand AS (SELECT vec_id, v, qv FROM b, q WHERE bit_count(xor(bucket, qb)) <= 1)
+SELECT vec_id,
+       round(list_dot_product(v, qv)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4) AS sim
+FROM cand ORDER BY sim DESC, vec_id LIMIT 10
+"""
+
+
+@q("dp_ann_lsh_topk", _ann_lsh_sql())
+def dp_ann_lsh_topk(spark, sf_dir):
+    # the ANN scale path: sign-bucket partition pruning (scan the query's
+    # bucket + all hamming-1 neighbors = 7 of 64 buckets, ~9x pruning),
+    # exact cosine rank within candidates. The oracle reproduces the
+    # bucketing + probe set, so this checks the LSH machinery end to end.
+    import numpy as np
+
+    from .datapipe.similarity import _hyperplanes, cosine_topk, rp_lsh_buckets
+
+    n_planes, seed, dim = 6, 42, 64
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    planes = _hyperplanes(dim, n_planes, seed)
+    qv = np.asarray(qvec, dtype=np.float64)
+    bits = (planes @ qv >= 0).astype(np.int64)
+    base = int((bits * (2 ** np.arange(n_planes))).sum())
+    probes = [base] + [base ^ (1 << i) for i in range(n_planes)]
+    cands = rp_lsh_buckets(e, dim=dim, n_planes=n_planes, seed=seed).filter(
+        F.col("bucket").isin(probes)
+    )
+    # rank candidates on the ROUNDED sim (matching the oracle's tie
+    # semantics at the k boundary); candidates are <= a few buckets
+    ranked = cosine_topk(cands, qvec, k=1_000_000)
+    return (
+        ranked.select("vec_id", F.round("sim", 4).alias("sim"))
+        .orderBy(F.desc("sim"), "vec_id")
+        .limit(10)
+    )
+
+
 _NEARDUP_SQL = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

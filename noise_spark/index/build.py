@@ -411,10 +411,15 @@ def build_index(
             (i, f, n_docs, per_field[f], float(per_field[f]) / max(n_docs, 1))
             for i, f in enumerate(cfg.fields)
         ]
+        # pandas-backed: 1 Arrow partition — a plain-list createDataFrame
+        # parallelizes to defaultParallelism Python partitions, and
+        # coalesce(1) would then run all those Python workers serially
+        # in one task (~6 s for one row at local[32])
         row = spark.createDataFrame(
-            rows, "ordinal int, field string, n_docs long, total_tokens long, avg_dl double"
+            pd.DataFrame(rows, columns=["ordinal", "field", "n_docs", "total_tokens", "avg_dl"]),
+            "ordinal int, field string, n_docs long, total_tokens long, avg_dl double",
         )
-        row.coalesce(1).write.mode("overwrite").parquet(cat.stage_path(sp("corpus_stats")))
+        row.write.mode("overwrite").parquet(cat.stage_path(sp("corpus_stats")))
         commit("corpus_stats", {"seconds": time.time() - t0, "n_docs": n_docs})
 
     stats_rows = spark.read.parquet(cat.stage_path(sp("corpus_stats"))).orderBy("ordinal").collect()

@@ -181,7 +181,12 @@ def delete_docs(spark: SparkSession, index_dir: str, urls: list[str]) -> dict:
         )
         for f in reader.fields
     ]
-    cd = spark.createDataFrame(cd_rows, "field string, n_docs long, total_tokens long")
+    import pandas as pd
+
+    cd = spark.createDataFrame(
+        pd.DataFrame(cd_rows, columns=["field", "n_docs", "total_tokens"]),
+        "field string, n_docs long, total_tokens long",
+    )
 
     # write each stage to a fresh versioned dir (prior versions untouched)
     snap = uuid.uuid4().hex[:8]

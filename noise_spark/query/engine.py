@@ -455,8 +455,13 @@ class IndexReader:
         ]
         if not weights:
             return self.spark.createDataFrame([], "doc_id long, score double")
+        # pandas-backed → one Arrow partition (a plain-list createDataFrame
+        # would parallelize to 32 Python partitions and cost ~1 s per query)
         wdf = F.broadcast(
-            self.spark.createDataFrame(weights, "term string, w double, avgdl double")
+            self.spark.createDataFrame(
+                pd.DataFrame(weights, columns=["term", "w", "avgdl"]),
+                "term string, w double, avgdl double",
+            )
         )
         k1, b = self.k1, self.b
         # parenthesization mirrors oracle.bm25_tf_norm exactly:
