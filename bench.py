@@ -183,7 +183,12 @@ def main():
             if cur is None or r["build_sec"] < cur["build_sec"]:
                 by_cpu[r["cpus"]] = r
         if len(by_cpu) >= 2:
+            # prefer an N→4N pair (the north-rule shape); else min→max
             lo, hi = min(by_cpu), max(by_cpu)
+            for a, b in ((1, 4), (2, 8), (4, 16), (8, 32)):
+                if a in by_cpu and b in by_cpu:
+                    lo, hi = a, b
+                    break
             eff = (by_cpu[hi]["docs_per_sec"] / by_cpu[lo]["docs_per_sec"]) / (hi / lo)
             scaling = {
                 "scaling_levels": [lo, hi],

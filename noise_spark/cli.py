@@ -7,7 +7,11 @@ find/dumpkeys). Commands:
     add {"url": ..., "text": ...}   buffer a document as JSON
     commit                      append buffered docs as a new generation
     del <url>                   tombstone a document
-    find <query>                top-10 BM25 (see query syntax below)
+    find <query>                top-10 BM25 (flat mini-syntax below)
+    query <noise query>         full Noise query language:
+                                find {f: ~= "w" && ...} order ... return ... limit N
+                                (noise_spark.query.parser — params, boosts,
+                                nested booleans, NOT-legality errors)
     stats                       corpus stats
     stages                      manifest stage listing (the 'dumpkeys')
     exit
@@ -130,6 +134,12 @@ def repl(index_dir: str | None = None):  # pragma: no cover — interactive
                 node = parse_query(rest)
                 for r in reader.search(node, k=10).collect():
                     print(f"  {r['doc_id']}\t{r['score']:.6f}")
+            elif cmd == "query":
+                from .query.parser import run_query
+
+                reader = IndexReader(spark, index_dir)
+                for r in run_query(reader, line[len("query "):]).collect():
+                    print(" ", json.dumps(r.asDict(recursive=True), default=str))
             elif cmd == "stats":
                 reader = IndexReader(spark, index_dir)
                 print(json.dumps({"n_docs": reader.n_docs, "avg_dl": reader.avg_dl}))

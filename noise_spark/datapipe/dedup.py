@@ -199,6 +199,81 @@ def simhash_candidate_pairs(
     return pairs.filter(F.col("hamming") <= max_hamming)
 
 
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) over an undirected edge list; component = the
+    smallest node id in the component. Near-dup PAIRS become dedup
+    GROUPS here (keep ``component``, drop the rest).
+
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): converges in
+    O(log n) rounds, every round is groupBy(min)+join — no vertex ever
+    materializes its full neighborhood (no collect_list), so skewed
+    high-degree dedup clusters (the 100 TB failure mode of naive label
+    propagation) stay shuffle-bounded.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # Γ(u) from BOTH orientations; m = min(Γ(u) ∪ {u}) via one agg
+        # (never materializing Γ(u)); connect every larger neighbor to m
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        return (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # orient high → low, group by the high end, hook its smaller
+        # neighbors (and itself) to the minimum
+        hi_lo = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        mins = hi_lo.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        j = hi_lo.join(mins, "u")
+        out = j.select(F.col("v").alias("u"), F.col("m").alias("v")).union(
+            j.select(F.col("u"), F.col("m").alias("v"))
+        )
+        return out.filter(F.col("u") != F.col("v")).distinct()
+
+    prev_sig = None
+    for _ in range(max_iter):
+        e = large_star(e)
+        e = small_star(e)
+        e = e.localCheckpoint(eager=True)  # truncate the iterative lineage
+        row = e.agg(
+            F.count("*").alias("n"), F.sum(F.col("u") * 31 + F.col("v")).alias("h")
+        ).collect()[0]
+        sig = (row["n"], row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # at the fixpoint edges form stars: every non-root node points at its
+    # component minimum; the roots themselves only appear on the v side
+    comp = e.groupBy("u").agg(F.min("v").alias("component")).select(
+        F.col("u").alias("node"), "component"
+    )
+    roots = (
+        e.select(F.col("v").alias("node"))
+        .distinct()
+        .join(comp.select("node"), "node", "left_anti")
+        .withColumn("component", F.col("node"))
+    )
+    return comp.union(roots)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     n: int = 3,

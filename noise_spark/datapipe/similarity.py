@@ -160,6 +160,67 @@ def neardup_pairs_lsh(
     )
 
 
+def centroids_by(
+    df: DataFrame, group_col: str, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-group mean vector (group_col, centroid array<double>) —
+    JVM-side: posexplode → per-(group, dim) avg → re-assemble sorted by
+    dim. At scale this is one map-side-combined groupBy; used as the
+    IVF coarse quantizer (k-means with given assignments; a full Lloyd
+    loop would alternate this with :func:`ivf_assign`)."""
+    exploded = df.select(
+        F.col(group_col), F.posexplode(_as_double(F.col(vec_col))).alias("dim", "x")
+    )
+    per_dim = exploded.groupBy(group_col, "dim").agg(F.avg("x").alias("m"))
+    return (
+        per_dim.groupBy(group_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+            ).alias("centroid")
+        )
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec,
+    centroids: list,
+    n_probe: int = 2,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest centroid (max
+    cosine), probe the ``n_probe`` centroids nearest the query, exact
+    cosine rank within the probed cells. ``centroids``: [(cell_id,
+    vector)] — small, embedded as literals (broadcast). At scale the
+    assignment is computed once at ingest and the table is written
+    partitioned by cell, making this a partition-pruned scan of
+    n_probe/k_cells of the data."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+
+    def cos_np(c):
+        c = np.asarray(c, dtype=np.float64)
+        return float(c @ q / (np.linalg.norm(c) * np.linalg.norm(q)))
+
+    order = sorted(centroids, key=lambda cv: (-cos_np(cv[1]), cv[0]))
+    probe_cells = [cid for cid, _ in order[:n_probe]]
+
+    e = _as_double(F.col(vec_col))
+    best = None
+    for cid, cvec in centroids:
+        c = _lit_vec(cvec)
+        sim_c = _dot(e, c) / (F.sqrt(_dot(e, e)) * F.sqrt(_dot(c, c)))
+        cand = F.struct(sim_c.alias("sim"), F.lit(int(cid)).alias("cell"))
+        best = cand if best is None else F.when(cand["sim"] > best["sim"], cand).otherwise(best)
+    assigned = df.withColumn("cell", best["cell"])
+    cands = assigned.filter(F.col("cell").isin(probe_cells))
+    return cosine_topk(cands, query_vec, k=k, vec_col=vec_col, id_col=id_col)
+
+
 def ann_topk_lsh(
     df_bucketed: DataFrame,
     query_vec,

@@ -27,7 +27,7 @@ from .index.catalog import IndexCatalog
 from .query import plan as P
 from .query.engine import IndexReader
 
-INDEX_FORMAT_VERSION = "v7"  # bump to invalidate cached on-disk indexes
+INDEX_FORMAT_VERSION = "v8"  # bump to invalidate cached on-disk indexes
 K1, B = 1.2, 0.75
 
 _READERS: dict[str, IndexReader] = {}
@@ -1086,6 +1086,52 @@ def dp_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(d, n=3, threshold=0.8).orderBy("id_a", "id_b")
 
 
+_JACCARD_PAIRS_SQL = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks),
+sh AS (SELECT DISTINCT doc_id, array_to_string(t[CAST(i AS INT):CAST(i AS INT)+2], ' ') AS s FROM idx),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*)::DOUBLE / (
+    (SELECT sz FROM sz WHERE doc_id = a.doc_id)
+    + (SELECT sz FROM sz WHERE doc_id = b.doc_id) - count(*)) >= 0.8
+)
+"""
+
+
+@q(
+    "dp_dedup_components",
+    f"""
+WITH RECURSIVE {_JACCARD_PAIRS_SQL},
+e AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT DISTINCT s AS node, s AS r FROM e
+  UNION
+  SELECT reach.node, e.d FROM reach JOIN e ON reach.r = e.s
+)
+SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS component
+FROM reach GROUP BY node ORDER BY doc_id
+""",
+)
+def dp_dedup_components(spark, sf_dir):
+    # near-dup PAIRS → dedup GROUPS: connected components over the
+    # 3-gram-Jaccard graph via alternating large-star/small-star
+    # (O(log n) rounds, no vertex materializes its neighborhood);
+    # oracle = exact reachability closure (DuckDB recursive CTE)
+    from .datapipe.dedup import connected_components, ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.8).select("id_a", "id_b")
+    return (
+        connected_components(pairs)
+        .select(F.col("node").alias("doc_id"), "component")
+        .orderBy("doc_id")
+    )
+
+
 def _ann_lsh_sql(dim: int = 64, n_planes: int = 6, seed: int = 42) -> str:
     """Oracle for the LSH-bucketed ANN path: the SAME hyperplanes (seeded
     numpy, float literals round-trip exactly), the same hamming<=1 probe
@@ -1137,6 +1183,54 @@ def dp_ann_lsh_topk(spark, sf_dir):
     # rank candidates on the ROUNDED sim (matching the oracle's tie
     # semantics at the k boundary); candidates are <= a few buckets
     ranked = cosine_topk(cands, qvec, k=1_000_000)
+    return (
+        ranked.select("vec_id", F.round("sim", 4).alias("sim"))
+        .orderBy(F.desc("sim"), "vec_id")
+        .limit(10)
+    )
+
+
+@q(
+    "dp_ann_ivf_topk",
+    """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dims AS (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM e),
+cdim AS (SELECT label, i, avg(x) AS m FROM dims GROUP BY label, i),
+cent AS (SELECT label AS cell, list(m ORDER BY i) AS c FROM cdim GROUP BY label),
+qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+probe AS (
+  SELECT cell FROM cent, qv
+  ORDER BY list_dot_product(c, q) / (sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(q, q))) DESC, cell
+  LIMIT 2
+),
+assign AS (
+  SELECT e.vec_id, e.v,
+         (SELECT cell FROM cent
+          ORDER BY list_dot_product(cent.c, e.v)
+                   / (sqrt(list_dot_product(cent.c, cent.c)) * sqrt(list_dot_product(e.v, e.v))) DESC, cell
+          LIMIT 1) AS cell
+  FROM e
+)
+SELECT vec_id,
+       round(list_dot_product(v, q) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(q, q))), 4) AS sim
+FROM assign, qv WHERE cell IN (SELECT cell FROM probe)
+ORDER BY sim DESC, vec_id LIMIT 10
+""",
+)
+def dp_ann_ivf_topk(spark, sf_dir):
+    # IVF-style ANN: per-label mean vectors as the coarse quantizer
+    # (k-means with given assignments), nearest-centroid cell assignment,
+    # nprobe=2 cells scanned, exact cosine rank within. The oracle
+    # recomputes centroids/assignment/probe in SQL — end-to-end check.
+    from .datapipe.similarity import centroids_by, ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = sorted(
+        (int(r[0]), [float(x) for x in r["centroid"]])
+        for r in centroids_by(e, "label").collect()
+    )
+    qvec = e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ranked = ivf_topk(e, qvec, cents, n_probe=2, k=1_000_000)
     return (
         ranked.select("vec_id", F.round("sim", 4).alias("sim"))
         .orderBy(F.desc("sim"), "vec_id")

@@ -9,15 +9,20 @@ Iceberg-style snapshot (resume = skip committed stages):
 A. ``docs``        — stable dense docIDs (rank over url) + byte-exact
                      text extraction from html; the document store
                      (re-expresses the ``V``/``I``/``S`` keyspaces).
-B. postings        — Arrow-batched tokenize → ``(term, doc_id, tf,
+   postings        — Arrow-batched tokenize → ``(term, doc_id, tf,
                      positions, dl)``; partition-local, no shuffle
-                     (re-expresses the ``W``/``L`` keyspaces). NOT
-                     persisted: cached only for this build — the
-                     compressed segments are the single on-disk copy.
-C. ``term_stats``  — ``(term, df, cf)`` via groupBy (the ``C``/``K``
-                     doc-frequency stats; map-side partial agg).
-D. ``corpus_stats``— ``(n_docs, total_tokens, avg_dl)``.
-E. ``segments``    — salted repartition-by-term with explicit
+                     (re-expresses the ``W``/``L`` keyspaces). NEVER
+                     materialized: the token stream flows straight into
+                     the segment shuffle — segments are the single copy.
+B. ``segments``    — salted repartition-by-term with explicit
+                     heavy-hitter splitting (hot terms detected from a
+                     deterministic doc sample).
+C. ``term_stats``  — ``(term, df, cf)`` aggregated from segment
+                     METADATA (Σ n_docs / Σ tf_sum per term — the
+                     ``C``/``K`` doc-frequency stats without re-reading
+                     the token stream).
+D. ``corpus_stats``— per-field ``(n_docs, total_tokens, avg_dl)``.
+Stage B details    — salted repartition-by-term with explicit
                      heavy-hitter splitting, per-(term,salt) sorted
                      posting blocks compressed docID-delta+varbyte with
                      block-max scores for WAND; written partitioned by a
@@ -88,6 +93,10 @@ SEGMENTS_SCHEMA = T.StructType(
         # segments stay valid when appends/deletes move avg_dl
         T.StructField("max_tf", T.IntegerType(), False),
         T.StructField("min_dl", T.IntegerType(), False),
+        # Σtf within the block — term_stats (df = Σ n_docs, cf = Σ tf_sum)
+        # derive from segment METADATA, so the token stream is consumed
+        # exactly once by the whole build
+        T.StructField("tf_sum", T.LongType(), False),
         T.StructField("codec", T.StringType(), False),  # docID codec: varbyte|for
         T.StructField("bucket", T.IntegerType(), False),
     ]
@@ -243,6 +252,7 @@ def _make_block_builder(block_size: int, n_buckets: int, doc_codec: str = "varby
 
         max_tf = np.maximum.reduceat(tfs, starts)
         min_dl = np.minimum.reduceat(dls, starts)
+        tf_sum = np.add.reduceat(tfs, starts)
         bucket = term_bucket(term, n_buckets)
         rows = {
             "term": term,
@@ -259,6 +269,7 @@ def _make_block_builder(block_size: int, n_buckets: int, doc_codec: str = "varby
             "positions": [pbuf[poffs[s] : poffs[e]] for s, e in zip(starts, ends)],
             "max_tf": max_tf,
             "min_dl": min_dl,
+            "tf_sum": tf_sum.astype(np.int64),
             "codec": doc_codec,
             "bucket": bucket,
         }
@@ -356,12 +367,13 @@ def build_index(
     docs = spark.read.parquet(cat.stage_path(sp("docs")))
 
     # -- postings intermediate (partition-local tokenize; no shuffle) --------
-    # NOT persisted to disk: the compressed segments are the single
-    # on-disk copy of the postings data (storing both would double index
-    # bytes and build I/O at scale). The DataFrame is cached
-    # memory-and-disk for this build so stages C and E share one
-    # tokenize pass; resume after a crash re-tokenizes from the
-    # committed docs stage (cheaper than 2× index storage forever).
+    # NEVER materialized — neither on disk nor in the block cache: the
+    # token stream flows straight into the salted segment shuffle (ONE
+    # tokenize pass for the whole build), and term/corpus stats derive
+    # from segment METADATA afterwards. Round-2 measurement showed a
+    # memory-and-disk cache of this intermediate costs more than it
+    # saves (full-width materialization + serialized re-read beats
+    # column-pruned parquet decode).
     missing_fields = [f for f in cfg.fields if f not in docs.columns]
     if missing_fields:
         raise ValueError(f"indexed fields not in docs table: {missing_fields}")
@@ -369,79 +381,49 @@ def build_index(
         _tokenize_batches(cfg.analyzer, cfg.verify_extraction, tuple(cfg.fields)),
         schema=POSTINGS_SCHEMA,
     )
-    postings_cached = False
-    if not (cat.stage_complete(sp("term_stats")) and cat.stage_complete(sp("segments"))):
-        from pyspark import StorageLevel
 
-        postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
-        postings_cached = True
+    n_docs = (cat.stage_info(sp("docs")) or {}).get("rows") or docs.count()
 
-    # -- stage C: term stats -------------------------------------------------
-    if not done("term_stats"):
-        t0 = time.time()
-        term_stats = postings.groupBy("term").agg(
-            F.count("*").alias("df"), F.sum("tf").alias("cf")
-        )
-        term_stats.write.mode("overwrite").parquet(cat.stage_path(sp("term_stats")))
-        commit("term_stats", {"seconds": time.time() - t0, "analyzer": cfg.analyzer})
-
-    # -- stage D: corpus stats (one row per indexed field) -------------------
-    if not done("corpus_stats"):
-        t0 = time.time()
-        # zero Spark jobs: n_docs from the docs stage's committed lineage
-        # row counts; per-field Σcf from a driver-side columnar read of
-        # the (small) term_stats table — Σcf over a field's terms == Σtf
-        # over that field's postings
-        n_docs = (cat.stage_info(sp("docs")) or {}).get("rows") or docs.count()
-        import pyarrow.dataset as ds
-
-        tbl = ds.dataset(cat.stage_path(sp("term_stats")), format="parquet").to_table(
-            columns=["term", "cf"]
-        )
-        per_field = {f: 0 for f in cfg.fields}
-        if tbl.num_rows:
-            pdf = tbl.to_pandas()
-            if len(cfg.fields) > 1:
-                fld = pdf["term"].str.split(FIELD_SEP, n=1).str[0]
-                for f, s in pdf.groupby(fld)["cf"].sum().items():
-                    per_field[f] = int(s)
-            else:
-                per_field[cfg.fields[0]] = int(pdf["cf"].sum())
-        rows = [
-            (i, f, n_docs, per_field[f], float(per_field[f]) / max(n_docs, 1))
-            for i, f in enumerate(cfg.fields)
-        ]
-        # pandas-backed: 1 Arrow partition — a plain-list createDataFrame
-        # parallelizes to defaultParallelism Python partitions, and
-        # coalesce(1) would then run all those Python workers serially
-        # in one task (~6 s for one row at local[32])
-        row = spark.createDataFrame(
-            pd.DataFrame(rows, columns=["ordinal", "field", "n_docs", "total_tokens", "avg_dl"]),
-            "ordinal int, field string, n_docs long, total_tokens long, avg_dl double",
-        )
-        row.write.mode("overwrite").parquet(cat.stage_path(sp("corpus_stats")))
-        commit("corpus_stats", {"seconds": time.time() - t0, "n_docs": n_docs})
-
-    stats_rows = spark.read.parquet(cat.stage_path(sp("corpus_stats"))).orderBy("ordinal").collect()
-    n_docs, avg_dl = stats_rows[0]["n_docs"], stats_rows[0]["avg_dl"]
-
-    # -- stage E: segments (salted merge + block compression) ----------------
+    # -- stage B: segments (salted merge + block compression) ----------------
+    # ONE pass: token stream → salted shuffle → compressed blocks.
     if not done("segments"):
         t0 = time.time()
-        term_stats = spark.read.parquet(cat.stage_path(sp("term_stats")))
-        # Only the Zipf head needs splitting; broadcast just the hot terms.
-        hot = term_stats.filter(F.col("df") > cfg.postings_per_salt).select(
-            "term", F.ceil(F.col("df") / cfg.postings_per_salt).cast("int").alias("n_salts")
+        # Zipf-head (hot-term) detection from a deterministic doc SAMPLE
+        # (doc_id % mod == 0 — identical at any parallelism): estimated
+        # df only sizes the salt split, so ±20% sampling error affects
+        # load balance, never correctness. Avoids a full stats pass
+        # before the shuffle.
+        sample_mod = max(1, n_docs // 20_000)
+        sample = docs.filter(F.col("doc_id") % sample_mod == 0).select(
+            "doc_id", *cfg.fields
+        )
+        est = (
+            sample.mapInPandas(
+                _tokenize_batches(cfg.analyzer, cfg.verify_extraction, tuple(cfg.fields)),
+                schema=POSTINGS_SCHEMA,
+            )
+            .groupBy("term")
+            .agg((F.count("*") * sample_mod).alias("est_df"))
+        )
+        hot = est.filter(F.col("est_df") > cfg.postings_per_salt).select(
+            "term",
+            F.ceil(F.col("est_df") / cfg.postings_per_salt).cast("int").alias("n_salts"),
         )
         salted = (
             postings.join(F.broadcast(hot), "term", "left")
             .withColumn("n_salts", F.coalesce(F.col("n_salts"), F.lit(1)))
-            # range salting: salt = doc_id * n_salts / n_docs keeps each
-            # salt a contiguous docID range → per-term blocks stay sorted
+            # range salting: salt = rel_id * n_salts / n_docs keeps each
+            # salt a contiguous docID range → per-term blocks stay sorted;
+            # rel_id = doc_id - generation offset so append generations
+            # spread across salts instead of clamping into the last one
             .withColumn(
                 "salt",
                 F.least(
-                    (F.col("doc_id") * F.col("n_salts") / F.lit(n_docs)).cast("int"),
+                    (
+                        (F.col("doc_id") - F.lit(doc_id_offset))
+                        * F.col("n_salts")
+                        / F.lit(n_docs)
+                    ).cast("int"),
                     F.col("n_salts") - 1,
                 ),
             )
@@ -472,8 +454,53 @@ def build_index(
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         commit("segments", {"seconds": time.time() - t0})
 
-    if postings_cached:
-        postings.unpersist()
-    metrics["n_docs"] = n_docs
-    metrics["avg_dl"] = avg_dl
+    # -- stage C: term stats from segment metadata (no token re-scan) --------
+    if not done("term_stats"):
+        t0 = time.time()
+        segs = spark.read.parquet(cat.stage_path(sp("segments")))
+        term_stats = segs.groupBy("term").agg(
+            F.sum("n_docs").alias("df"), F.sum("tf_sum").alias("cf")
+        )
+        term_stats.write.mode("overwrite").parquet(cat.stage_path(sp("term_stats")))
+        commit("term_stats", {"seconds": time.time() - t0, "analyzer": cfg.analyzer})
+
+    # -- stage D: corpus stats (one row per indexed field) -------------------
+    if not done("corpus_stats"):
+        t0 = time.time()
+        # zero extra Spark jobs: n_docs from the docs stage's committed
+        # lineage rows; per-field Σcf from a driver-side columnar read of
+        # the (small) term_stats table — Σcf over a field's terms == Σtf
+        # over that field's postings
+        import pyarrow.dataset as ds
+
+        tbl = ds.dataset(cat.stage_path(sp("term_stats")), format="parquet").to_table(
+            columns=["term", "cf"]
+        )
+        per_field = {f: 0 for f in cfg.fields}
+        if tbl.num_rows:
+            pdf = tbl.to_pandas()
+            if len(cfg.fields) > 1:
+                fld = pdf["term"].str.split(FIELD_SEP, n=1).str[0]
+                for f, s in pdf.groupby(fld)["cf"].sum().items():
+                    per_field[f] = int(s)
+            else:
+                per_field[cfg.fields[0]] = int(pdf["cf"].sum())
+        rows = [
+            (i, f, n_docs, per_field[f], float(per_field[f]) / max(n_docs, 1))
+            for i, f in enumerate(cfg.fields)
+        ]
+        # pandas-backed: 1 Arrow partition — a plain-list createDataFrame
+        # parallelizes to defaultParallelism Python partitions, and
+        # coalesce(1) would then run all those Python workers serially
+        # in one task (~6 s for one row at local[32])
+        row = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["ordinal", "field", "n_docs", "total_tokens", "avg_dl"]),
+            "ordinal int, field string, n_docs long, total_tokens long, avg_dl double",
+        )
+        row.write.mode("overwrite").parquet(cat.stage_path(sp("corpus_stats")))
+        commit("corpus_stats", {"seconds": time.time() - t0, "n_docs": n_docs})
+
+    stats_rows = spark.read.parquet(cat.stage_path(sp("corpus_stats"))).orderBy("ordinal").collect()
+    metrics["n_docs"] = stats_rows[0]["n_docs"]
+    metrics["avg_dl"] = stats_rows[0]["avg_dl"]
     return metrics

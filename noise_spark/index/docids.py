@@ -28,6 +28,13 @@ def assign_doc_ids(pages: DataFrame, partitions: int | None = None) -> DataFrame
     if partitions is None:
         partitions = spark.sparkContext.defaultParallelism * 2
 
+    # The persist is LOAD-BEARING FOR CORRECTNESS, not a cache hint: the
+    # count job and the numbering job must see the IDENTICAL physical
+    # partitioning. Without it each action re-executes the range shuffle
+    # with independently sampled boundaries (RangePartitioner seeds by
+    # RDD id), so the driver-side offsets no longer match the partitions
+    # being numbered — duplicate/shifted docIDs (observed: top-k docIDs
+    # diverged across parallelism levels when this was removed).
     ordered = pages.repartitionByRange(partitions, "url").sortWithinPartitions("url")
     ordered.persist(StorageLevel.MEMORY_AND_DISK)
 

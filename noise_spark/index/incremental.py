@@ -123,8 +123,14 @@ def _stage_df(spark, cat: IndexCatalog, stage: str, empty_schema: str) -> DataFr
     return spark.read.parquet(info["path"])
 
 
-def delete_docs(spark: SparkSession, index_dir: str, urls: list[str]) -> dict:
+def delete_docs(spark: SparkSession, index_dir: str, urls) -> dict:
     """Tombstone docs by url; commit exact negative stat deltas.
+
+    ``urls``: a Python list for small ad-hoc deletes, or a
+    DataFrame[url] for bulk deletes — the victim set then never
+    materializes on the driver (a 10⁵-doc delete stays distributed:
+    victims come from a join, deltas are aggregated and written as
+    DataFrames).
 
     All three mutable stages (tombstones, term_stats_delta,
     corpus_stats_delta) are written to fresh snapshot-suffixed
@@ -138,7 +144,12 @@ def delete_docs(spark: SparkSession, index_dir: str, urls: list[str]) -> dict:
 
     reader = IndexReader(spark, index_dir)  # excludes prior tombstones
     cat = IndexCatalog(index_dir)
-    victims = reader.docs.filter(F.col("url").isin(urls)).select("doc_id")
+    if isinstance(urls, DataFrame):
+        victims = reader.docs.join(
+            urls.select("url").distinct(), "url", "left_semi"
+        ).select("doc_id")
+    else:
+        victims = reader.docs.filter(F.col("url").isin(list(urls))).select("doc_id")
     n_removed = victims.count()
     vic_posts = reader.postings.join(victims, "doc_id", "left_semi")
 
@@ -206,9 +217,9 @@ def upsert_docs(
     new_pages: DataFrame,
     config: BuildConfig | None = None,
 ) -> dict:
-    """MERGE-by-url: replace existing docs, add new ones."""
-    urls = [r["url"] for r in new_pages.select("url").distinct().collect()]
-    d = delete_docs(spark, index_dir, urls)
+    """MERGE-by-url: replace existing docs, add new ones. The url set
+    stays a DataFrame end-to-end — no driver-side collect of keys."""
+    d = delete_docs(spark, index_dir, new_pages.select("url"))
     a = append_docs(spark, index_dir, new_pages, config)
     return {**a, **d}
 

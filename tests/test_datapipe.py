@@ -125,6 +125,41 @@ def test_simhash_band_pairs_pigeonhole_recall(spark):
     assert (1, 4) not in pairs  # beyond max_hamming
 
 
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],  # chain + pairs + dup edge
+        [(5, 1), (9, 5), (2, 9), (7, 8)],  # chain given in shuffled order
+        [(i, i + 1) for i in range(30)],  # long path (log-round convergence)
+        [(100, 1), (100, 2), (100, 3), (100, 4)],  # high-degree star
+    ],
+)
+def test_connected_components_vs_union_find(spark, edges):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(df).collect()
+    }
+    assert got == _uf_components(edges)
+
+
 def test_neardup_lsh_matches_bruteforce_no_cartesian(spark, emb):
     # the LSH-blocked path must equal the exact all-pairs result at this
     # threshold (multi-band recall), with only equi-joins in the plan
@@ -245,6 +280,31 @@ def test_ann_lsh_beats_random_scan(spark, emb):
     scan_fraction = (n_probes + 1) / 2 ** n_planes
     assert recall >= min(0.2, 5 * scan_fraction)
     assert approx[0] == exact[0] == 0  # the query vector itself
+
+
+def test_ivf_full_probe_equals_exact(spark, emb):
+    # probing ALL cells must reduce IVF to exact brute force; probing 2
+    # returns a correctly-ranked subset of candidates
+    from pyspark.sql import functions as F
+
+    cents = sorted(
+        (int(r[0]), [float(x) for x in r["centroid"]])
+        for r in similarity.centroids_by(emb, "label").collect()
+    )
+    q = emb.filter(F.col("vec_id") == 3).collect()[0]["embedding"]
+    exact = [(r["vec_id"], round(r["sim"], 6)) for r in similarity.cosine_topk(emb, q, k=10).collect()]
+    full = [
+        (r["vec_id"], round(r["sim"], 6))
+        for r in similarity.ivf_topk(emb, q, cents, n_probe=len(cents), k=10).collect()
+    ]
+    assert full == exact
+    two = similarity.ivf_topk(emb, q, cents, n_probe=2, k=10).collect()
+    assert len(two) == 10
+    sims = [r["sim"] for r in two]
+    assert sims == sorted(sims, reverse=True)
+    assert set(r["vec_id"] for r in two) <= set(
+        r["vec_id"] for r in similarity.ivf_topk(emb, q, cents, n_probe=len(cents), k=1_000_000).collect()
+    )
 
 
 def test_multimodal_plumbing(spark):

@@ -95,6 +95,96 @@ def test_upsert_replaces(spark, inc_index):
     _assert_identical(reader, _oracle_for(spark, reader))
 
 
+def test_torn_append_invisible_then_resumed(spark, tmp_path):
+    """A crash mid-append leaves a torn generation: readers must NOT see
+    its docs (no phantoms with missing stats/segments), and a retried
+    append must RESUME the same generation with the same watermark
+    instead of allocating a new one (ADVICE round 1)."""
+    from pyspark.sql import functions as F
+
+    idx = str(tmp_path / "idx")
+    build_index(spark, generate_pages(spark, 200, seed=42, partitions=2), idx, BuildConfig(block_size=64))
+    new_pages = generate_pages(spark, 50, seed=9, partitions=2).withColumn(
+        "url", F.concat(F.lit("https://delta."), F.col("url"))
+    )
+    # crash after the generation's docs stage committed
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_index(
+            spark, new_pages, idx, BuildConfig(block_size=64),
+            stage_prefix="gen1/", doc_id_offset=200, fail_after_stage="gen1/docs",
+        )
+    reader = IndexReader(spark, idx)
+    assert reader.n_docs == 200  # torn generation invisible
+    assert reader.docs.count() == 200
+    assert reader._gens == [""]
+
+    # retry with the same batch resumes gen1 at the same watermark
+    info = append_docs(spark, idx, new_pages, BuildConfig(block_size=64))
+    assert info["generation"] == "gen1"
+    assert info["watermark"] == 200
+    assert info["stages"]["gen1/docs"].get("skipped") is True
+    reader = IndexReader(spark, idx)
+    assert reader.n_docs == 250
+    _assert_identical(reader, _oracle_for(spark, reader))
+
+
+def test_delete_single_snapshot_and_gc(spark, tmp_path):
+    """All three mutable stages of a delete publish under ONE snapshot id
+    (atomic multi-stage commit) and superseded versioned dirs are GC'd."""
+    import os
+
+    from noise_spark.index.catalog import IndexCatalog
+
+    idx = str(tmp_path / "idx")
+    build_index(spark, generate_pages(spark, 150, seed=42, partitions=2), idx, BuildConfig(block_size=64))
+    reader = IndexReader(spark, idx)
+    urls1 = [r["url"] for r in reader.docs.limit(5).collect()]
+    delete_docs(spark, idx, urls1)
+    cat = IndexCatalog(idx)
+    man = cat.current_manifest()
+    stamps = {
+        s: man["stages"][s]["path"].rsplit("__", 1)[1]
+        for s in ("tombstones", "term_stats_delta", "corpus_stats_delta")
+    }
+    assert len(set(stamps.values())) == 1, stamps  # one snapshot for all three
+
+    # second delete supersedes the first version dirs; old ones GC'd
+    reader = IndexReader(spark, idx)
+    urls2 = [r["url"] for r in reader.docs.limit(5).collect()]
+    delete_docs(spark, idx, urls2)
+    versioned = [d for d in os.listdir(idx) if "__" in d]
+    assert len(versioned) == 3, versioned  # exactly the current trio remains
+    reader = IndexReader(spark, idx)
+    assert reader.n_docs == 140
+    _assert_identical(reader, _oracle_for(spark, reader))
+
+
+def test_bulk_delete_100k_stays_distributed(spark, tmp_path):
+    """10⁵-doc delete with the victim set as a DataFrame — no collect()
+    of victims anywhere in the delete path (VERDICT round-1 item 8);
+    stats stay exact and WAND == exhaustive on the survivors."""
+    from pyspark.sql import functions as F
+
+    idx = str(tmp_path / "idx")
+    build_index(
+        spark,
+        generate_pages(spark, 100_000, seed=1, partitions=32),
+        idx,
+        BuildConfig(analyzer="whitespace", block_size=128),
+    )
+    reader = IndexReader(spark, idx)
+    victims_df = reader.docs.filter(F.col("doc_id") % 2 == 0).select("url")
+    info = delete_docs(spark, idx, victims_df)
+    assert info["deleted"] == 50_000
+    reader = IndexReader(spark, idx)
+    assert reader.n_docs == 50_000
+    node = P.Or((P.Term("w00000"), P.Term("w00050")))
+    a = [(r["doc_id"], r["score"]) for r in reader.search(node, k=10).collect()]
+    b = [(r["doc_id"], r["score"]) for r in reader.search_wand(node, k=10).collect()]
+    assert a == b
+    assert a and all(d % 2 == 1 for d, _ in a)  # only survivors rank
+
+
 def test_compact_folds_generations(spark, inc_index, tmp_path):
     out = str(tmp_path / "compacted")
     reader_before = IndexReader(spark, inc_index)

@@ -26,26 +26,27 @@ def test_resume_after_crash(spark, tmp_path):
     pages = generate_pages(spark, 300, seed=42, partitions=4)
 
     with pytest.raises(RuntimeError, match="injected failure"):
-        build_index(spark, pages, idx_dir, BuildConfig(), fail_after_stage="term_stats")
+        build_index(spark, pages, idx_dir, BuildConfig(), fail_after_stage="segments")
 
     cat = IndexCatalog(idx_dir)
     assert cat.stage_complete("docs")
-    assert cat.stage_complete("term_stats")
+    assert cat.stage_complete("segments")
+    assert not cat.stage_complete("term_stats")
     assert not cat.stage_complete("corpus_stats")
-    assert not cat.stage_complete("segments")
     # single-copy invariant: raw postings are never materialized on disk
     assert not os.path.exists(os.path.join(idx_dir, "postings"))
 
     docs_before = _stage_mtimes(idx_dir, "docs")
-    stats_before = _stage_mtimes(idx_dir, "term_stats")
+    segs_before = _stage_mtimes(idx_dir, "segments")
 
     metrics = build_index(spark, pages, idx_dir, BuildConfig())
     # committed stages were skipped, not recomputed
     assert metrics["stages"]["docs"].get("skipped") is True
-    assert metrics["stages"]["term_stats"].get("skipped") is True
+    assert metrics["stages"]["segments"].get("skipped") is True
     assert _stage_mtimes(idx_dir, "docs") == docs_before
-    assert _stage_mtimes(idx_dir, "term_stats") == stats_before
-    assert cat.stage_complete("segments")
+    assert _stage_mtimes(idx_dir, "segments") == segs_before
+    assert cat.stage_complete("term_stats")
+    assert cat.stage_complete("corpus_stats")
     assert not os.path.exists(os.path.join(idx_dir, "postings"))
 
     # resumed index == uninterrupted build
@@ -78,3 +79,9 @@ def test_docid_stability_across_parallelism(spark, tmp_path):
     a = {r["url"]: r["doc_id"] for r in assign_doc_ids(p1, partitions=3).select("url", "doc_id").collect()}
     b = {r["url"]: r["doc_id"] for r in assign_doc_ids(p2, partitions=11).select("url", "doc_id").collect()}
     assert a == b
+    # exact dense rank over url: a permutation 0..n-1, ordered like urls
+    # (guards the count-vs-numbering partitioning pin — a re-sampled range
+    # shuffle between the two jobs produces duplicated/shifted ids)
+    assert sorted(a.values()) == list(range(500))
+    by_id = [u for u, _ in sorted(a.items(), key=lambda kv: kv[1])]
+    assert by_id == sorted(a.keys())
