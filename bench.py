@@ -154,6 +154,11 @@ def main():
         timings[name + "_wand"] = round(time.time() - t0, 4)
         wand_blocks[name] = reader.last_blocks_decoded.value
 
+    # whole query set as ONE action (driver round-trips amortized)
+    t0 = time.time()
+    reader.search_many(QUERY_SET, k=10).collect()
+    queryset_batched_sec = round(time.time() - t0, 4)
+
     lat = sorted(v for k, v in timings.items())
     p50 = lat[len(lat) // 2]
     p95 = lat[min(len(lat) - 1, int(len(lat) * 0.95))]
@@ -220,6 +225,7 @@ def main():
                 "stage_stats": stage_stats,
                 "index_bytes": index_bytes,
                 "wand_blocks_decoded": wand_blocks,
+                "queryset_batched_sec": queryset_batched_sec,
                 "codec_table": codec_table,
             }
         )

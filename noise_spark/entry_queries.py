@@ -925,6 +925,35 @@ def rel_array_minmax(spark, sf_dir):
 
 
 @q(
+    "rel_array_flat",
+    """
+SELECT label,
+       round(list_sum(flatten(list(CAST(embedding[1:3] AS DOUBLE[])))), 4) AS flat_sum,
+       CAST(len(flatten(list(embedding[1:3]))) AS BIGINT) AS n_elems
+FROM embeddings GROUP BY label ORDER BY label
+""",
+)
+def rel_array_flat(spark, sf_dir):
+    # array_flat aggregate (§2.6, src/aggregates.rs:180-194): collect
+    # nested arrays per group, flatten, aggregate through the flattened
+    # elements
+    e = _t(spark, sf_dir, "embeddings")
+    flat = F.flatten(
+        F.collect_list(F.slice(F.transform("embedding", lambda x: x.cast("double")), 1, 3))
+    )
+    return (
+        e.groupBy("label")
+        .agg(
+            F.round(
+                F.aggregate(flat, F.lit(0.0), lambda acc, x: acc + x), 4
+            ).alias("flat_sum"),
+            F.size(flat).cast("long").alias("n_elems"),
+        )
+        .orderBy("label")
+    )
+
+
+@q(
     "rel_sessionize",
     """
 WITH g AS (

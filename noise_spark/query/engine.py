@@ -495,6 +495,23 @@ class IndexReader:
             scored = scored.join(self._match_set(node), "doc_id", "left_semi")
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def search_many(self, queries: dict[str, P.Node], k: int = 10) -> DataFrame:
+        """A whole query set as ONE Spark action: every query's
+        (exhaustive-path) plan is tagged with its query_id and unioned,
+        so scheduling and scan overheads amortize across the set —
+        driver round-trips drop from Q to 1 (the reference query set is
+        the unit of evaluation, src/repl.rs golden runs). Returns
+        DataFrame(query_id, doc_id, score) with each query's top-k."""
+        parts = []
+        for qid, node in queries.items():
+            parts.append(
+                self.search(node, k=k).withColumn("query_id", F.lit(qid))
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.select("query_id", "doc_id", "score")
+
     def query(self, node: P.Node, k: int = 10) -> DataFrame:
         """Planner entry point: flat scored Or/And of terms take the
         block-max WAND path over compressed segments (bucket-pruned scan,

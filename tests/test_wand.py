@@ -142,6 +142,19 @@ def test_wand_bin_theta0_exact():
     assert stats["blocks_decoded"] >= 1
 
 
+def test_search_many_matches_individual(reader):
+    """The batched query-set action must return exactly each query's
+    individual top-k."""
+    qs = {k: WAND_QUERIES[k] for k in ("single_head", "or_2", "and_2", "or_boost")}
+    batched = {}
+    for r in reader.search_many(qs, k=10).collect():
+        batched.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, node in qs.items():
+        want = [(r["doc_id"], r["score"]) for r in reader.search(node, k=10).collect()]
+        got = sorted(batched.get(qid, []), key=lambda x: (-x[1], x[0]))
+        assert got == want, qid
+
+
 def test_query_planner_routes(reader):
     """query() must route flat scored plans through WAND and the rest
     through the exhaustive path, rank-identically."""
