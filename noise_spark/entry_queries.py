@@ -637,6 +637,43 @@ def dp_langid(spark, sf_dir):
 
 
 @q(
+    "dp_quality_filter",
+    """
+WITH m AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' ')))::DOUBLE
+           / len(string_split(text, ' ')) AS distinct_ratio,
+         (length(text) - len(string_split(text, ' ')) + 1)::DOUBLE
+           / len(string_split(text, ' ')) AS mean_tok_len
+  FROM documents
+)
+SELECT doc_id FROM m
+WHERE n_tokens >= 20 AND distinct_ratio >= 0.3
+  AND mean_tok_len BETWEEN 3.0 AND 12.0
+ORDER BY doc_id
+""",
+)
+def dp_quality_filter(spark, sf_dir):
+    # the canonical training-data quality GATE: compute the cheap
+    # metrics once, keep docs passing all thresholds (pure column
+    # expressions — pushdown-friendly, no shuffle)
+    from .datapipe.textstats import quality_metrics
+
+    d = _t(spark, sf_dir, "documents")
+    m = quality_metrics(d)
+    return (
+        m.filter(
+            (F.col("n_tokens") >= 20)
+            & (F.col("distinct_ratio") >= 0.3)
+            & (F.col("mean_tok_len").between(3.0, 12.0))
+        )
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@q(
     "dp_fingerprint",
     """
 SELECT doc_id,
