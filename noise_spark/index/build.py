@@ -145,6 +145,16 @@ class BuildConfig:
     extra: dict = field(default_factory=dict)
 
 
+# Position jump between consecutive array elements of a multi-valued
+# field — the arraypath re-expression: the reference's match identity is
+# (seq, arraypath) (src/query.rs:21-26), so a phrase/proximity match can
+# never span two array elements. A gap far larger than any realistic
+# proximity window makes cross-element position adjacency impossible
+# while keeping ONE postings row per (term, doc) (Lucene's
+# position-increment-gap technique re-expressed).
+POSITION_GAP = 1_000
+
+
 def _tokenize_batches(analyzer_name: str, verify: bool, fields: tuple = ("text",)):
     analyze = ANALYZERS[analyzer_name]
     scoped = len(fields) > 1
@@ -156,7 +166,17 @@ def _tokenize_batches(analyzer_name: str, verify: bool, fields: tuple = ("text",
             for fname in fields:
                 prefix = f"{fname}{FIELD_SEP}" if scoped else ""
                 for doc_id, text in zip(doc_ids, pdf[fname].tolist()):
-                    toks = analyze(text if text is not None else "")
+                    if text is not None and not isinstance(text, str):
+                        # array-valued field: tokenize each element, bump
+                        # positions by POSITION_GAP between elements
+                        toks = []
+                        base = 0
+                        for el in text:
+                            el_toks = analyze(el if el is not None else "")
+                            toks.extend((base + p, t) for p, t in el_toks)
+                            base += (len(el_toks) if el_toks else 0) + POSITION_GAP
+                    else:
+                        toks = analyze(text if text is not None else "")
                     dl = len(toks)  # per-field length (the reference's L key)
                     per_term: dict[str, list[int]] = {}
                     for pos, term in toks:

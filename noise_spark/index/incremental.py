@@ -94,10 +94,16 @@ def append_docs(
     if gens and not _gen_complete(manifest, gens[-1]):
         gen = gens[-1]  # resume the torn generation
         docs_info = manifest["stages"].get(f"{gen}/docs")
-        if docs_info is not None:
+        torn_metrics = (docs_info or {}).get("metrics", {})
+        if docs_info is not None and "doc_id_offset" in torn_metrics:
             # reuse the watermark the torn attempt numbered its docs with
-            watermark = int(docs_info.get("metrics", {}).get("doc_id_offset", 0))
+            watermark = int(torn_metrics["doc_id_offset"])
         else:
+            # docs stage missing OR committed before the doc_id_offset
+            # metric existed: renumber above the observed high-water mark
+            # (includes the torn gen's own docs) — may leave an id gap,
+            # never a collision. Defaulting to 0 here would renumber from
+            # 0 and collide with the base build's ids.
             watermark = high_doc_id(spark, index_dir) + 1
     else:
         gen = f"gen{len(gens) + 1}"

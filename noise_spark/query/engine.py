@@ -115,22 +115,38 @@ class IndexReader:
         }
         self.avg_dl = self.field_avg_dl.get(self.default_field, 0.0)
 
+        # tombstones stay a DataFrame end-to-end: never collected to the
+        # driver or shipped in task closures (a bulk delete at scale
+        # would otherwise become driver memory + per-task closure bytes).
+        # DataFrame paths anti-join it; the WAND path cogroups a BINNED
+        # view of it so each bin receives only its own tombstones.
         self._tombstones: DataFrame | None = None
-        self._tombstone_ids = None
         if "tombstones" in stages:
             t = spark.read.parquet(stages["tombstones"]["path"])
-            ids = [r["doc_id"] for r in t.collect()]
-            if ids:
+            if not t.isEmpty():
                 self._tombstones = t
-                import numpy as np
-
-                self._tombstone_ids = np.sort(np.array(ids, dtype=np.int64))
         self._term_stats_delta = (
             stages["term_stats_delta"]["path"] if "term_stats_delta" in stages else None
         )
         self._df_cache: dict[str, int] = {}
         ts_info = stages.get("term_stats") or {}
         self.analyzer = (ts_info.get("metrics") or {}).get("analyzer", "porter")
+        # virtual (derived) document fields: name → (docs DF → Column).
+        # The typed-column re-expression of the reference's dynamic
+        # keypaths (arbitrary shredded paths, src/json_shred.rs:485-576):
+        # predicates/binds/returns can target a derived column (e.g. a
+        # token array) without materializing it in the doc store.
+        self.virtual_fields: dict = {}
+
+    def docs_view(self) -> DataFrame:
+        """Doc store plus any registered virtual fields — the table that
+        field predicates, bind variables, and return paths resolve
+        against. Virtual columns are plain expressions, so Catalyst
+        prunes them unless actually referenced."""
+        d = self.docs
+        for name, make in self.virtual_fields.items():
+            d = d.withColumn(name, make(d))
+        return d
 
     # -- field scoping ----------------------------------------------------------
     def _key(self, term: str, field: str | None = None) -> str:
@@ -320,7 +336,7 @@ class IndexReader:
                 if node.value is None
                 else F.col(node.field) == F.lit(node.value)
             )
-            return self.docs.filter(cond).select("doc_id")
+            return self.docs_view().filter(cond).select("doc_id")
         if isinstance(node, P.FieldRange):
             cond = F.lit(True)
             c = F.col(node.field)
@@ -328,7 +344,17 @@ class IndexReader:
                 cond = cond & (c >= node.lo if node.lo_inclusive else c > node.lo)
             if node.hi is not None:
                 cond = cond & (c <= node.hi if node.hi_inclusive else c < node.hi)
-            return self.docs.filter(cond).select("doc_id")
+            return self.docs_view().filter(cond).select("doc_id")
+        if isinstance(node, P.Bind):
+            # exists(arr, pred): JVM-side higher-order function — matches
+            # the reference's per-element probe (src/filters.rs:1068-1152)
+            # with zero explosion/shuffle
+            pred = P.bind_element_pred(node)
+            return (
+                self.docs_view()
+                .filter(F.exists(F.col(node.field), pred))
+                .select("doc_id")
+            )
         if isinstance(node, P.AllDocs):
             return self.docs.select("doc_id")
         raise TypeError(type(node))
@@ -362,46 +388,68 @@ class IndexReader:
         w = window
 
         def verify(iterator):
+            import numpy as np
+
             from ..index.codec import decode_positions_row
+
+            def phrase_ok(lists) -> bool:
+                # vectorized consecutive-position intersection: position
+                # lists are sorted (ascending varbyte deltas), so each
+                # step is one searchsorted probe of cand+i into list i
+                cand = lists[0]
+                for i, pl in enumerate(lists[1:], start=1):
+                    if cand.size == 0:
+                        return False
+                    want = cand + i
+                    idx = np.searchsorted(pl, want)
+                    valid = idx < pl.size
+                    keep = np.zeros(cand.size, dtype=bool)
+                    keep[valid] = pl[idx[valid]] == want[valid]
+                    cand = cand[keep]
+                return cand.size > 0
+
+            def prox2_ok(l0, l1) -> bool:
+                # two-term proximity: ∃ (p, q) with |q-p| <= w — one
+                # searchsorted window probe per anchor position, fully
+                # vectorized over l0
+                lo_i = np.searchsorted(l1, l0 - w, side="left")
+                hi_i = np.searchsorted(l1, l0 + w, side="right")
+                return bool((hi_i > lo_i).any())
+
+            def proxk_ok(lists) -> bool:
+                # k>2 terms: minimal-window sweep over the merged event
+                # list (the reference's DistanceFilter sliding window,
+                # src/filters.rs:588-726)
+                events = sorted((p, i) for i, pl in enumerate(lists) for p in pl)
+                k = len(lists)
+                need: dict[int, int] = {}
+                have = 0
+                lo = 0
+                for hi in range(len(events)):
+                    ti = events[hi][1]
+                    need[ti] = need.get(ti, 0) + 1
+                    if need[ti] == 1:
+                        have += 1
+                    while have == k:
+                        if events[hi][0] - events[lo][0] <= w:
+                            return True
+                        tlo = events[lo][1]
+                        need[tlo] -= 1
+                        if need[tlo] == 0:
+                            have -= 1
+                        lo += 1
+                return False
 
             for pdf in iterator:
                 keep = []
                 for doc_id, posmap in zip(pdf["doc_id"], pdf["posmap"]):
                     lists = [decode_positions_row(bytes(posmap[t])) for t in ordered_terms]
                     if phrase:
-                        cand = list(lists[0])
-                        ok = False
-                        for i, pl in enumerate(lists[1:], start=1):
-                            s = set(pl)
-                            cand = [p for p in cand if p + i in s]
-                            if not cand:
-                                break
-                        ok = bool(cand)
+                        ok = phrase_ok(lists)
+                    elif len(lists) == 2:
+                        ok = prox2_ok(lists[0], lists[1])
                     else:
-                        events = sorted(
-                            (p, i) for i, pl in enumerate(lists) for p in pl
-                        )
-                        k = len(lists)
-                        need: dict[int, int] = {}
-                        have = 0
-                        lo = 0
-                        ok = False
-                        for hi in range(len(events)):
-                            ti = events[hi][1]
-                            need[ti] = need.get(ti, 0) + 1
-                            if need[ti] == 1:
-                                have += 1
-                            while have == k and not ok:
-                                if events[hi][0] - events[lo][0] <= w:
-                                    ok = True
-                                    break
-                                tlo = events[lo][1]
-                                need[tlo] -= 1
-                                if need[tlo] == 0:
-                                    have -= 1
-                                lo += 1
-                            if ok:
-                                break
+                        ok = proxk_ok(lists)
                     if ok:
                         keep.append(doc_id)
                 yield pd.DataFrame({"doc_id": pd.Series(keep, dtype="int64")})
@@ -438,7 +486,7 @@ class IndexReader:
         binary 1.0 like the reference (src/filters.rs:363-368, 487-492);
         any plan containing scoring terms ranks by BM25 with the filters
         shaping the candidate set."""
-        if isinstance(node, (P.ExactMatch, P.FieldEq, P.FieldRange, P.AllDocs)) or not self._term_boosts(node):
+        if isinstance(node, (P.ExactMatch, P.FieldEq, P.FieldRange, P.AllDocs, P.Bind)) or not self._term_boosts(node):
             return (
                 self._match_set(node)
                 .withColumn("score", F.lit(1.0))
@@ -492,7 +540,16 @@ class IndexReader:
             isinstance(node, P.Or) and all(isinstance(c, P.Term) for c in node.children)
         )
         if needs_filter:
-            scored = scored.join(self._match_set(node), "doc_id", "left_semi")
+            # LEFT join from the match set (not semi): a doc can match
+            # through a non-term arm (e.g. `a || !b`, a field predicate
+            # arm) while containing no scoring term at all — it belongs
+            # in the result with score 0.0 (binary arms don't contribute
+            # BM25 mass; SURVEY §2.4's scoring replacement)
+            scored = (
+                self._match_set(node)
+                .join(scored, "doc_id", "left")
+                .na.fill({"score": 0.0})
+            )
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def search_many(self, queries: dict[str, P.Node], k: int = 10) -> DataFrame:
@@ -528,18 +585,18 @@ class IndexReader:
     # -- block-max WAND over compressed segments --------------------------------
     def _seed_theta(self, weights: dict[str, float], k: int, n_blocks: int = 8) -> float:
         """Global-θ seed: decode the ``n_blocks`` highest-upper-bound
-        blocks driver-side and take the kth-largest per-doc partial score.
-        Each decoded contribution is EXACT for its term, so per-doc sums
-        are lower bounds of true scores, and the kth largest of k lower
+        blocks and take the kth-largest per-doc partial score. Each
+        decoded contribution is EXACT for its term, so per-doc sums are
+        lower bounds of true scores, and the kth largest of k lower
         bounds is a lower bound of the kth-best overall score — seeding
-        θ with it can never skip a true top-k doc. Cost: one tiny job
-        (bucket+term-pruned scan, TakeOrdered n_blocks) + n_blocks block
-        decodes on the driver."""
-        import numpy as np
+        θ with it can never skip a true top-k doc.
 
+        Runs as ONE small distributed job: a bucket+term-pruned block
+        scan, TakeOrdered(n_blocks) on the stored block UBs, executor-
+        side decode of those blocks, tombstone removal by ANTI-JOIN
+        (tombstones are never collected to the driver), per-doc sum,
+        top-k. Only k scalar rows reach the driver."""
         from ..index.build import term_bucket
-        from ..index import codec as C
-        from .wand import _tf_norm_ub
 
         buckets = sorted({term_bucket(t) for t in weights})
         wmap = F.create_map(
@@ -561,37 +618,58 @@ class IndexReader:
                 * (F.lit(1.0 - b) + F.lit(b) * (F.col("min_dl") / avgdl_map[F.col("term")]))
             )
         )
-        rows = (
+        top_blocks = (
             self.segments.filter(
                 F.col("bucket").isin(buckets) & F.col("term").isin(list(weights))
             )
             .select("term", "first_doc", "docs", "tfs", "dls", "codec", ub.alias("ub"))
             .orderBy(F.desc("ub"), "term", "first_doc")  # deterministic under ties
             .limit(n_blocks)
+        )
+        w_map = dict(weights)
+        avgdls = {t: self.field_avg_dl[self._field_of(t)] for t in weights}
+
+        def decode(iterator):
+            import numpy as np
+
+            from ..index import codec as C
+
+            for pdf in iterator:
+                frames = []
+                for row in pdf.itertuples(index=False):
+                    docs = (
+                        C.for_decode(bytes(row.docs))
+                        if row.codec == "for"
+                        else C.delta_decode(bytes(row.docs))
+                    )
+                    tfs = C.varbyte_decode(bytes(row.tfs)).astype(np.float64)
+                    dls = C.varbyte_decode(bytes(row.dls)).astype(np.float64)
+                    t_avg = avgdls[row.term]
+                    contrib = w_map[row.term] * (
+                        (tfs * (k1 + 1.0))
+                        / (tfs + k1 * ((1.0 - b) + b * (dls / t_avg)))
+                    )
+                    frames.append(
+                        pd.DataFrame(
+                            {"doc_id": docs.astype("int64"), "contrib": contrib}
+                        )
+                    )
+                if frames:
+                    yield pd.concat(frames, ignore_index=True)
+
+        contribs = self._minus_tombstones(
+            top_blocks.mapInPandas(decode, schema="doc_id long, contrib double")
+        )
+        rows = (
+            contribs.groupBy("doc_id")
+            .agg(F.sum("contrib").alias("s"))
+            .orderBy(F.desc("s"), F.asc("doc_id"))
+            .limit(k)
             .collect()
         )
-        acc: dict[int, float] = {}
-        for r in rows:
-            docs = (
-                C.for_decode(bytes(r["docs"]))
-                if r["codec"] == "for"
-                else C.delta_decode(bytes(r["docs"]))
-            )
-            tfs = C.varbyte_decode(bytes(r["tfs"])).astype(np.float64)
-            dls = C.varbyte_decode(bytes(r["dls"])).astype(np.float64)
-            t_avg = self.field_avg_dl[self._field_of(r["term"])]
-            contrib = weights[r["term"]] * (
-                (tfs * (k1 + 1.0)) / (tfs + k1 * ((1.0 - b) + b * (dls / t_avg)))
-            )
-            if self._tombstone_ids is not None and self._tombstone_ids.size:
-                keep = ~np.isin(docs, self._tombstone_ids)
-                docs, contrib = docs[keep], contrib[keep]
-            for d, c in zip(docs.tolist(), contrib.tolist()):
-                acc[d] = acc.get(d, 0.0) + c
-        if len(acc) < k:
+        if len(rows) < k:
             return 0.0
-        vals = np.fromiter(acc.values(), dtype=np.float64, count=len(acc))
-        kth = float(np.partition(vals, len(vals) - k)[len(vals) - k])
+        kth = float(rows[-1]["s"])
         # nudge down by a relative margin far above float reorder error
         # (~1e-15) so θ₀ stays a strict lower bound even though this sum
         # order differs from the engine's canonical ascending-term order
@@ -652,17 +730,22 @@ class IndexReader:
         avg_dls = {t: self.field_avg_dl[self._field_of(t)] for t in weights}
         kk = k
         bw = bin_width
-        excl = self._tombstone_ids
         # global-θ seed (OR mode only: in AND mode a single-term partial
         # score is NOT a lower bound of any qualifying doc's score, so
         # seeding could wrongly prune) — every bin starts with skipping
-        # already engaged instead of θ=0
-        theta0 = self._seed_theta(w_map, k) if (mode == "or" and seed_theta) else 0.0
+        # already engaged instead of θ=0. Multi-term only: with ONE term
+        # each bin's heap fills immediately and block UBs already bind,
+        # so the seed job can never pay for its own driver round-trip
+        # (measured: +28% on q_term_head_wand in round 2).
+        theta0 = (
+            self._seed_theta(w_map, k)
+            if (mode == "or" and seed_theta and len(w_map) > 1)
+            else 0.0
+        )
         blocks_acc = self.spark.sparkContext.accumulator(0)
         self.last_blocks_decoded = blocks_acc  # .value valid after an action
 
-        def run_bin(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            (bin_id,) = key
+        def _run_bin(bin_id: int, pdf: pd.DataFrame, exclude) -> pd.DataFrame:
             lo, hi = bin_id * bw, (bin_id + 1) * bw
             per_term: dict[str, tuple[float, list[dict]]] = {}
             for row in pdf.itertuples(index=False):
@@ -673,7 +756,7 @@ class IndexReader:
             stats: dict = {}
             top = wand_bin(
                 per_term, lo, hi, kk, avg_dl, k1, b,
-                mode=mode, theta0=theta0, exclude=excl, stats=stats,
+                mode=mode, theta0=theta0, exclude=exclude, stats=stats,
                 avg_dls=avg_dls,
             )
             blocks_acc.add(stats.get("blocks_decoded", 0))
@@ -684,11 +767,35 @@ class IndexReader:
                 }
             )
 
+        def run_bin(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            return _run_bin(key[0], pdf, None)
+
+        def run_bin_with_tombs(key, pdf: pd.DataFrame, tomb: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            excl = (
+                np.sort(tomb["doc_id"].to_numpy(dtype="int64")) if len(tomb) else None
+            )
+            return _run_bin(key[0], pdf, excl)
+
         out_schema = T.StructType(
             [
                 T.StructField("doc_id", T.LongType(), False),
                 T.StructField("score", T.DoubleType(), False),
             ]
         )
-        candidates = segs.groupBy("bin").applyInPandas(run_bin, schema=out_schema)
+        if self._tombstones is not None:
+            # tombstones reach each bin through a COGROUP on the same bin
+            # key — each task sees only its own docID range's tombstones,
+            # nothing rides in the closure, nothing touches the driver
+            tombs = self._tombstones.withColumn(
+                "bin", (F.col("doc_id") / F.lit(bin_width)).cast("int")
+            )
+            candidates = (
+                segs.groupBy("bin")
+                .cogroup(tombs.groupBy("bin"))
+                .applyInPandas(run_bin_with_tombs, schema=out_schema)
+            )
+        else:
+            candidates = segs.groupBy("bin").applyInPandas(run_bin, schema=out_schema)
         return candidates.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

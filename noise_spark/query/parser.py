@@ -4,14 +4,20 @@ A recursive-descent parser for the reference's query surface
 (``/root/reference/src/parser.rs:665-1307``) onto the plan AST
 (:mod:`noise_spark.query.plan`) plus order/return/limit specs executed
 as DataFrame operations. Covered grammar (the fulltext-tier subset —
-binds ``x::[...]`` and geo ``&&`` are out of tier, SURVEY §7):
+geo ``&&`` bboxes are out of tier, SURVEY §7):
 
 - ``find {f: ~= "w"}``            stemmed word / phrase (multi-word)
 - ``find {f: ~N= "w1 w2"}``       proximity within N words
 - ``find {f: == <json>}``         exact string / number / bool / null
 - ``find {f: > n}`` (``<, >=, <=``) numeric ranges
-- ``&&``/``,``, ``||``, ``!``, parentheses, ``^N`` boost
+- ``&&``/``,``, ``||``, ``!``, parentheses, ``^N`` boost — one shared
+  precedence level, right-associative, exactly the reference's ``obool``
+  (``a && b || c`` = ``a && (b || c)``, src/parser.rs:732-746); ``!`` is
+  a standalone complement resolved against the sibling AND scope or the
+  doc universe (a negated OR arm is legal, repl-tests/not.noise:113)
 - ``find {}``                     all docs
+- ``{f: x::[== <json>]}`` + ``return x``  bind variable over an
+  array-valued (possibly virtual) field (src/filters.rs:1068-1152)
 - ``params {...}`` + ``@name``    parameters (src/parser.rs:172-215)
 - ``order .f [asc|desc], score() [desc]`` multi-key sort
 - ``return ._id | .f | score() | {k: .f default=<json>, ...} | [.f, .g]
@@ -96,6 +102,14 @@ class RetLiteral:
 
 
 @dataclass
+class RetBind:
+    """``return x`` for a bind variable — the matched array elements,
+    always as an array (src/returnable.rs:348-402)."""
+
+    name: str
+
+
+@dataclass
 class RetObject:
     items: list  # [(key, ret)]
 
@@ -111,6 +125,7 @@ class QuerySpec:
     orders: list = dc_field(default_factory=list)  # [("score"|"field", name, asc)]
     ret: object = None  # None = default ._id
     limit: int | None = None
+    binds: dict = dc_field(default_factory=dict)  # name -> P.Bind
 
 
 class _Parser:
@@ -119,6 +134,7 @@ class _Parser:
         self.i = 0
         self.params = params or {}
         self.analyzer = analyzer
+        self.binds: dict[str, P.Bind] = {}
 
     # -- token helpers --------------------------------------------------------
     def peek(self):
@@ -179,8 +195,14 @@ class _Parser:
             self.params = {**self._json_object(), **self.params}
         self.expect("find")
         node = self.object()
-        self._check_not_legality(node)
-        spec = QuerySpec(node=node)
+        # global legality checks over the whole marker tree, exactly the
+        # reference's post-parse walk (src/query.rs:220-228):
+        # no ! nested under !, and at least one non-negated clause
+        _check_double_not(node)
+        if _is_all_not(node):
+            raise ParseError(ERR_ALL_NOT)
+        node = _resolve(node)
+        spec = QuerySpec(node=node, binds=dict(self.binds))
         if self.accept("order"):
             spec.orders = self.order_keys()
         if self.accept("return"):
@@ -220,47 +242,45 @@ class _Parser:
             raise ParseError(f"invalid params JSON: {e}") from None
 
     def object(self) -> P.Node:
+        """``not_object`` / ``object`` with the top-level connectives —
+        mirrors the reference grammar (src/parser.rs:672-714): an
+        optional leading ``!``, a braced boolean, then ``&&``/``||``
+        recursing on the WHOLE right side (right-associative, equal
+        precedence)."""
+        if self.accept("!"):
+            return _Negated(self.object())
         self.expect("{")
         if self.accept("}"):
-            return P.AllDocs()
-        node = self.bool_expr()
-        self.expect("}")
-        return node
+            left: P.Node = P.AllDocs()
+        else:
+            left = self.bool_expr()
+            self.expect("}")
+        left = self._boost(left)
+        if self.peek()[1] == "&&":
+            self.next()
+            return _combine(P.And, left, self.object())
+        if self.accept("||"):
+            return _combine(P.Or, left, self.object())
+        return left
 
     def bool_expr(self) -> P.Node:
-        left = self.and_expr()
-        parts = [left]
-        while self.accept("||"):
-            parts.append(self.and_expr())
-        if len(parts) == 1:
-            return left
-        for p in parts:
-            if isinstance(p, _Negated):
-                raise ParseError(ERR_ALL_NOT)
-        return P.Or(tuple(parts))
-
-    def and_expr(self) -> P.Node:
-        parts = [self.unary_expr()]
-        while self.peek()[1] in ("&&", ","):
+        """Boolean expression inside braces. The reference's ``obool``
+        (src/parser.rs:732-746) consumes ONE operator then recurses on
+        the whole right side — ``&&`` and ``||`` share one precedence
+        level and associate right: ``a && b || c`` = ``a && (b || c)``."""
+        left = self.unary_expr()
+        if self.peek()[1] in ("&&", ","):
             self.next()
-            parts.append(self.unary_expr())
-        pos = [p for p in parts if not isinstance(p, _Negated)]
-        neg = [p.inner for p in parts if isinstance(p, _Negated)]
-        if not pos:
-            if len(parts) == 1:
-                return parts[0]  # legality decided at a higher level
-            raise ParseError(ERR_ALL_NOT)
-        node = pos[0] if len(pos) == 1 else P.And(tuple(pos))
-        for n in neg:
-            node = P.Not(node, n)
-        return node
+            return _combine(P.And, left, self.bool_expr())
+        if self.accept("||"):
+            return _combine(P.Or, left, self.bool_expr())
+        return left
 
     def unary_expr(self) -> P.Node:
         if self.accept("!"):
-            inner = self.unary_expr()
-            if isinstance(inner, _Negated) or _contains_negation(inner):
-                raise ParseError(ERR_DOUBLE_NOT)
-            return _Negated(inner)
+            # legality (double-not / all-not) is checked globally after
+            # the parse, as the reference does (src/query.rs:220-228)
+            return _Negated(self.unary_expr())
         if self.accept("("):
             node = self.bool_expr()
             self.expect(")")
@@ -282,6 +302,28 @@ class _Parser:
             raise ParseError(f"expected a field name, got {fname!r}")
         self.expect(":")
         k, op = self.peek()
+        # bind variable: field: name::[<elem condition>]
+        # (src/parser.rs:1054-1068, src/filters.rs:1068-1152)
+        if (
+            k == "word"
+            and self.toks[self.i + 1][1] == ":"
+            and self.toks[self.i + 2][1] == ":"
+        ):
+            name = self.next()[1]
+            self.expect(":")
+            self.expect(":")
+            self.expect("[")
+            eop = self.peek()[1]
+            if eop not in ("==", "!=", ">", ">=", "<", "<="):
+                raise ParseError(
+                    f"expected an element comparison inside bind [...], got {eop!r}"
+                )
+            self.next()
+            val = self.literal()
+            self.expect("]")
+            node = P.Bind(name, fname, eop, val)
+            self.binds[name] = node
+            return self._boost(node)
         if op == "~=":
             self.next()
             return self._boost(self._word_clause(fname, self.literal(), window=None))
@@ -329,10 +371,6 @@ class _Parser:
         if len(terms) == 1:
             return P.Term(terms[0], field=fld)
         return P.Phrase(terms, field=fld)
-
-    def _check_not_legality(self, node: P.Node):
-        if isinstance(node, _Negated):
-            raise ParseError(ERR_ALL_NOT)
 
     # -- order / return --------------------------------------------------------
     def order_keys(self) -> list:
@@ -385,6 +423,9 @@ class _Parser:
             self.expect("(")
             self.expect(")")
             return RetScore()
+        if kind == "word" and v in self.binds:
+            self.next()
+            return RetBind(v)
         if v == "{":
             nxt = self.toks[self.i + 1][1]
             if nxt == "}":
@@ -419,20 +460,76 @@ class _Parser:
 
 @dataclass(frozen=True)
 class _Negated(P.Node):
-    """Parser-internal marker for a negated subtree; resolved into
-    binary ``P.Not`` at the enclosing AND (the reference's NotFilter
-    wraps its sibling scope, src/filters.rs:944-1066)."""
+    """Parser-internal marker for a negated subtree — the reference's
+    standalone complement NotFilter (src/filters.rs:944-1066). Resolved
+    by :func:`_resolve` into binary ``P.Not``: against the sibling AND
+    scope when one exists (the efficient plan), else against the doc
+    universe (``P.Not(AllDocs, inner)`` — e.g. a negated OR arm, legal
+    per repl-tests/not.noise:113)."""
 
     inner: P.Node
 
 
-def _contains_negation(node: P.Node) -> bool:
-    if isinstance(node, (_Negated, P.Not)):
+def _combine(cls, left: P.Node, right: P.Node) -> P.Node:
+    """Build And/Or, flattening same-class children (associativity) so
+    chains like ``a && b && c`` stay one flat node — which is what the
+    engine's one-scan intersection / WAND planner key off. Boosted
+    subtrees are NOT flattened (the boost scopes the subtree)."""
+    parts: list = []
+    for p in (left, right):
+        if isinstance(p, cls) and p.boost == 1.0:
+            parts.extend(p.children)
+        else:
+            parts.append(p)
+    return cls(tuple(parts))
+
+
+def _check_double_not(node: P.Node, under_not: bool = False):
+    """No ``!`` anywhere beneath another ``!`` — the reference's
+    ``check_double_not`` walk (src/filters.rs:1051-1060)."""
+    if isinstance(node, _Negated):
+        if under_not:
+            raise ParseError(ERR_DOUBLE_NOT)
+        _check_double_not(node.inner, True)
+    elif isinstance(node, (P.And, P.Or)):
+        for c in node.children:
+            _check_double_not(c, under_not)
+
+
+def _is_all_not(node: P.Node) -> bool:
+    """True iff every leaf clause is negated — the reference's
+    ``is_all_not`` (src/filters.rs:1063-1065 and the And/Or folds)."""
+    if isinstance(node, _Negated):
         return True
-    for c in getattr(node, "children", ()) or ():
-        if _contains_negation(c):
-            return True
+    if isinstance(node, (P.And, P.Or)):
+        return all(_is_all_not(c) for c in node.children)
     return False
+
+
+def _resolve(node: P.Node) -> P.Node:
+    """Replace ``_Negated`` markers with executable ``P.Not`` nodes."""
+    from dataclasses import replace
+
+    if isinstance(node, _Negated):
+        return P.Not(P.AllDocs(), _resolve(node.inner))
+    if isinstance(node, P.And):
+        pos = [_resolve(c) for c in node.children if not isinstance(c, _Negated)]
+        neg = [_resolve(c.inner) for c in node.children if isinstance(c, _Negated)]
+        if not pos:
+            # all-negated conjunction under a positive sibling (e.g. the
+            # right side of an OR): !a && !b ≡ !(a || b)  (De Morgan)
+            inner = neg[0] if len(neg) == 1 else P.Or(tuple(neg))
+            return P.Not(P.AllDocs(), inner)
+        if len(pos) == 1:
+            out = pos[0] if node.boost == 1.0 else _apply_boost(pos[0], node.boost)
+        else:
+            out = replace(node, children=tuple(pos))
+        for n in neg:
+            out = P.Not(out, n)
+        return out
+    if isinstance(node, P.Or):
+        return replace(node, children=tuple(_resolve(c) for c in node.children))
+    return node
 
 
 def _apply_boost(node: P.Node, mult: float) -> P.Node:
@@ -449,16 +546,14 @@ def _apply_boost(node: P.Node, mult: float) -> P.Node:
 
 def parse_query(text: str, params: dict | None = None, analyzer: str = "porter") -> QuerySpec:
     """Parse a Noise-style query string into a :class:`QuerySpec`."""
-    spec = _Parser(_tokenize(text), params, analyzer).parse()
-    if isinstance(spec.node, _Negated):
-        raise ParseError(ERR_ALL_NOT)
-    return spec
+    return _Parser(_tokenize(text), params, analyzer).parse()
 
 
 # -- execution ----------------------------------------------------------------
 
 
-def _ret_column(ret, F, available: set):
+def _ret_column(ret, F, available: set, binds: dict | None = None):
+    binds = binds or {}
     if isinstance(ret, RetPath):
         name = "doc_id" if ret.path == "_id" else ret.path
         if name not in available:
@@ -471,17 +566,25 @@ def _ret_column(ret, F, available: set):
         return col
     if isinstance(ret, RetScore):
         return F.col("score")
+    if isinstance(ret, RetBind):
+        b = binds[ret.name]
+        # the matched elements, always an array (src/returnable.rs:348-402)
+        return F.filter(F.col(b.field), P.bind_element_pred(b))
     if isinstance(ret, RetLiteral):
         if ret.value == {} or ret.value == []:
             return F.struct() if ret.value == {} else F.array()
         return F.lit(ret.value)
     if isinstance(ret, RetObject):
-        return F.struct(*[_ret_column(r, F, available).alias(k) for k, r in ret.items])
+        return F.struct(
+            *[_ret_column(r, F, available, binds).alias(k) for k, r in ret.items]
+        )
     if isinstance(ret, RetArray):
         # constructed arrays may mix types ([.lang, score()]); the
         # reference renders results as JSON text, so string-render the
         # elements rather than let Spark coerce to one numeric type
-        return F.array(*[_ret_column(r, F, available).cast("string") for r in ret.items])
+        return F.array(
+            *[_ret_column(r, F, available, binds).cast("string") for r in ret.items]
+        )
     raise TypeError(type(ret))
 
 
@@ -500,17 +603,26 @@ def run_query(reader, text: str, params: dict | None = None, default_k: int = 10
     limit = spec.limit or default_k
 
     if wants_score:
-        scored = reader.query(spec.node, k=limit if _score_is_primary(spec) else 1_000_000)
+        # the engine's top-k is score-DESCENDING; fetching only k rows is
+        # correct only when the primary order is score desc (or there is
+        # no order clause, whose default below is score desc). The
+        # reference defaults `order score()` to ASC (src/parser.rs:1124-
+        # 1130) — an ascending score order needs the FULL match set
+        # scored, then orderBy(score asc).limit(n) picks the lowest n.
+        scored = reader.query(
+            spec.node, k=limit if _score_primary_desc(spec) else 1_000_000
+        )
         base = scored
     else:
         base = reader._match_set(spec.node).withColumn("score", F.lit(1.0))
 
     order_fields = {name for kind, name, _ in spec.orders if kind == "field"}
     ret_fields: set = set()
-    _collect_ret_fields(spec.ret, ret_fields)
+    _collect_ret_fields(spec.ret, ret_fields, spec.binds)
     need_fields = (order_fields | ret_fields) - {"doc_id"}  # always present
     order_fields = order_fields - {"doc_id"}
-    docs_cols = set(reader.docs.columns) if need_fields else set()
+    docs = reader.docs_view() if hasattr(reader, "docs_view") else reader.docs
+    docs_cols = set(docs.columns) if need_fields else set()
     join_cols = sorted(f for f in need_fields if f in docs_cols and f != "doc_id")
     missing = need_fields - set(join_cols)
     if missing & order_fields:
@@ -520,7 +632,7 @@ def run_query(reader, text: str, params: dict | None = None, default_k: int = 10
         # reference fills `default` for absent keypaths, returnable.rs:298)
         _check_missing_ok(spec.ret, missing)
     if join_cols:
-        base = base.join(reader.docs.select("doc_id", *join_cols), "doc_id", "left")
+        base = base.join(docs.select("doc_id", *join_cols), "doc_id", "left")
 
     order_cols = []
     for kind, name, asc in spec.orders:
@@ -539,11 +651,24 @@ def run_query(reader, text: str, params: dict | None = None, default_k: int = 10
     available = set(out.columns) | {"doc_id"}
     if spec.ret is None:
         return out.select("doc_id")
-    return out.select(_ret_column(spec.ret, F, available).alias("result"))
+    if isinstance(spec.ret, RetObject):
+        # a top-level constructed object maps to one COLUMN per key —
+        # the DataFrame-native rendering of the reference's JSON object
+        # rows (src/returnable.rs:119-160); nested objects stay structs
+        return out.select(
+            *[
+                _ret_column(r, F, available, spec.binds).alias(k)
+                for k, r in spec.ret.items
+            ]
+        )
+    return out.select(_ret_column(spec.ret, F, available, spec.binds).alias("result"))
 
 
-def _score_is_primary(spec: QuerySpec) -> bool:
-    return not spec.orders or spec.orders[0][0] == "score"
+def _score_primary_desc(spec: QuerySpec) -> bool:
+    if not spec.orders:
+        return True  # default ordering below is (score desc, doc_id)
+    kind, _, asc = spec.orders[0]
+    return kind == "score" and not asc
 
 
 def _ret_uses_score(ret) -> bool:
@@ -556,15 +681,18 @@ def _ret_uses_score(ret) -> bool:
     return False
 
 
-def _collect_ret_fields(ret, out: set):
+def _collect_ret_fields(ret, out: set, binds: dict | None = None):
+    binds = binds or {}
     if isinstance(ret, RetPath) and ret.path != "_id":
         out.add(ret.path)
+    elif isinstance(ret, RetBind):
+        out.add(binds[ret.name].field)  # bound values project the array field
     elif isinstance(ret, RetObject):
         for _, r in ret.items:
-            _collect_ret_fields(r, out)
+            _collect_ret_fields(r, out, binds)
     elif isinstance(ret, RetArray):
         for r in ret.items:
-            _collect_ret_fields(r, out)
+            _collect_ret_fields(r, out, binds)
 
 
 def _check_missing_ok(ret, missing: set):

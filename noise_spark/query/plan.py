@@ -111,6 +111,53 @@ class AllDocs(Node):
     """Match every document, score 1.0 (find {} — src/filters.rs:42-80)."""
 
 
+@dataclass(frozen=True)
+class Bind(Node):
+    """Bind variable over an array-valued field — the reference's
+    ``{field: x::[<cond>]}`` (BindFilter, src/filters.rs:1068-1152):
+    matches docs where at least one array element satisfies the
+    condition, and records the MATCHING ELEMENTS under ``name`` for the
+    return clause (``return x`` → always an array,
+    src/returnable.rs:348-402).
+
+    Spark lowering needs no explosion at all: the match is
+    ``exists(field, pred)`` and the bound values are
+    ``filter(field, pred)`` — both JVM-side higher-order functions, so
+    the reference's per-element arraypath bookkeeping costs zero shuffle
+    here. ``op`` ∈ {==, !=, >, >=, <, <=}; ``value`` is the comparand
+    (None = null)."""
+
+    name: str
+    field: str
+    op: str
+    value: object
+
+
+def bind_element_pred(node: "Bind"):
+    """Element-level predicate of a Bind as a Column → Column lambda,
+    usable inside ``exists``/``filter`` higher-order functions."""
+    from pyspark.sql import functions as F
+
+    op, v = node.op, node.value
+
+    def pred(e):
+        if op == "==":
+            return e.isNull() if v is None else e == F.lit(v)
+        if op == "!=":
+            return e.isNotNull() if v is None else e != F.lit(v)
+        if op == ">":
+            return e > F.lit(v)
+        if op == ">=":
+            return e >= F.lit(v)
+        if op == "<":
+            return e < F.lit(v)
+        if op == "<=":
+            return e <= F.lit(v)
+        raise ValueError(f"unsupported bind element operator {op!r}")
+
+    return pred
+
+
 def terms_of(node: Node) -> List[str]:
     """All positive scoring terms of a plan (deduped, sorted)."""
     out: set[str] = set()

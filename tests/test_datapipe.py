@@ -307,6 +307,27 @@ def test_ivf_full_probe_equals_exact(spark, emb):
     )
 
 
+def test_ivf_assign_matmul_matches_expressions(spark, emb):
+    # the two physical assignment strategies (chained JVM expressions vs
+    # one numpy matmul per Arrow batch) must produce identical cells
+    cents = sorted(
+        (int(r[0]), [float(x) for x in r["centroid"]])
+        for r in similarity.centroids_by(emb, "label").collect()
+    )
+    by_expr = {
+        r["vec_id"]: r["cell"]
+        for r in similarity.ivf_assign(emb, cents, expr_max_cells=1000).collect()
+    }
+    by_matmul = {
+        r["vec_id"]: r["cell"]
+        for r in similarity.ivf_assign(emb, cents, expr_max_cells=0).collect()
+    }
+    assert by_expr == by_matmul
+    # and the matmul path's plan is one Arrow stage, no Python row UDFs
+    plan = similarity.ivf_assign(emb, cents, expr_max_cells=0)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+
+
 def test_multimodal_plumbing(spark):
     data = [(i, "image", bytes([i]) * (10 + i), ("image/png", 4, 4, None)) for i in range(6)]
     df = spark.createDataFrame(data, multimodal.MEDIA_SCHEMA)

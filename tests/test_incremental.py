@@ -67,6 +67,11 @@ def test_delete_tombstones_and_stats(spark, inc_index):
     reader = IndexReader(spark, inc_index)
     assert reader.n_docs == 480 - 25
     assert reader.docs.count() == 480 - 25
+    # tombstones must stay a DataFrame: never collected into the reader
+    # (round-2 VERDICT item 3 — the old driver-side id array rode inside
+    # every WAND task closure)
+    assert not hasattr(reader, "_tombstone_ids")
+    assert reader._tombstones is not None
     _assert_identical(reader, _oracle_for(spark, reader))
 
 

@@ -104,3 +104,61 @@ def test_single_field_index_rejects_scoping(spark, small_index):
     assert not r.scoped
     with pytest.raises(ValueError, match="single field"):
         r.search(P.Term("w00000", field="title"), k=5).collect()
+
+
+# -- array-valued (multi-valued) fields: the arraypath re-expression ----------
+
+@pytest.fixture(scope="module")
+def arr_reader(spark, tmp_path_factory):
+    rows = [
+        (0, ["big data tools", "fast shuffle engine"], "x"),
+        (1, ["fast big data", "slow join"], "x"),
+        (2, ["nothing here"], "x"),
+        (3, [], "x"),
+        (4, None, "x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tags array<string>, body string")
+    idx = str(tmp_path_factory.mktemp("arr") / "idx")
+    build_index(
+        spark,
+        df,
+        idx,
+        BuildConfig(
+            analyzer="whitespace",
+            doc_id_col="doc_id",
+            fields=("body", "tags"),
+            block_size=4,
+        ),
+    )
+    return IndexReader(spark, idx)
+
+
+def test_array_field_terms_match(arr_reader):
+    got = [r["doc_id"] for r in arr_reader._match_set(P.Term("fast", field="tags")).orderBy("doc_id").collect()]
+    assert got == [0, 1]
+    # dl of an array field = total tokens across elements; an absent
+    # (null) field falls back to the null-string path, whose whitespace
+    # analysis yields one empty token (same as the DuckDB oracle's
+    # string_split('', ' ') — established single-field behavior)
+    assert arr_reader.field_avg_dl["tags"] == pytest.approx((6 + 5 + 2 + 0 + 1) / 5)
+
+
+def test_array_field_phrase_stays_within_element(arr_reader):
+    # "big data" occurs inside single elements of docs 0 and 1
+    got = [r["doc_id"] for r in arr_reader._match_set(P.Phrase(("big", "data"), field="tags")).orderBy("doc_id").collect()]
+    assert got == [0, 1]
+    # "tools fast" spans the element boundary in doc 0 — the reference's
+    # (seq, arraypath) match identity forbids it (src/query.rs:21-26);
+    # the POSITION_GAP makes cross-element adjacency impossible
+    got = arr_reader._match_set(P.Phrase(("tools", "fast"), field="tags")).collect()
+    assert got == []
+
+
+def test_array_field_proximity_stays_within_element(arr_reader):
+    # within one element: "fast ... engine" (distance 2) matches doc 0
+    got = [r["doc_id"] for r in arr_reader._match_set(P.Proximity(("fast", "engine"), window=2, field="tags")).collect()]
+    assert got == [0]
+    # across elements: "tools" (el 0) vs "engine" (el 1) never within any
+    # realistic window
+    got = arr_reader._match_set(P.Proximity(("tools", "engine"), window=50, field="tags")).collect()
+    assert got == []

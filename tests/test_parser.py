@@ -77,6 +77,53 @@ def test_parse_negation_into_binary_not():
     assert spec.node == P.Not(P.Term("shuffle"), P.Term("broadcast"))
 
 
+def test_parse_right_recursive_precedence():
+    # the reference's obool consumes one operator then recurses on the
+    # whole right side (parser.rs:732-746): a && b || c == a && (b || c)
+    spec = parse_query(
+        'find {text: ~= "a" && text: ~= "b" || text: ~= "c"}', analyzer="whitespace"
+    )
+    assert spec.node == P.And((P.Term("a"), P.Or((P.Term("b"), P.Term("c")))))
+    # and symmetric: a || b && c == a || (b && c)
+    spec = parse_query(
+        'find {text: ~= "a" || text: ~= "b" && text: ~= "c"}', analyzer="whitespace"
+    )
+    assert spec.node == P.Or((P.Term("a"), P.And((P.Term("b"), P.Term("c")))))
+
+
+def test_parse_or_with_negated_arm():
+    # a negated OR arm is legal (repl-tests/not.noise:113) and resolves
+    # to a complement against the doc universe
+    spec = parse_query(
+        'find {text: ~= "a" || !text: ~= "b"}', analyzer="whitespace"
+    )
+    assert spec.node == P.Or((P.Term("a"), P.Not(P.AllDocs(), P.Term("b"))))
+    # all-negated conjunction under a positive OR arm: De Morgan
+    spec = parse_query(
+        'find {text: ~= "a" || (!text: ~= "b" && !text: ~= "c")}',
+        analyzer="whitespace",
+    )
+    assert spec.node == P.Or(
+        (P.Term("a"), P.Not(P.AllDocs(), P.Or((P.Term("b"), P.Term("c")))))
+    )
+
+
+def test_parse_top_level_not_object():
+    # find {a} && !{b} — the reference's not_object form (parser.rs:672-714)
+    spec = parse_query(
+        'find {text: ~= "a"} && !{text: ~= "b"}', analyzer="whitespace"
+    )
+    assert spec.node == P.Not(P.Term("a"), P.Term("b"))
+    with pytest.raises(ParseError) as e:
+        parse_query('find !{text: ~= "a"}', analyzer="whitespace")
+    assert ERR_ALL_NOT in str(e.value)
+    # the golden double-not shape: find !{a} && !{b} nests the second
+    # not under the first (not.noise:146-148)
+    with pytest.raises(ParseError) as e:
+        parse_query('find !{text: ~= "a"} && !{text: ~= "b"}', analyzer="whitespace")
+    assert ERR_DOUBLE_NOT in str(e.value)
+
+
 def test_parse_all_docs_and_clauses():
     spec = parse_query(
         "find {} order .lang desc, score() limit 7", analyzer="whitespace"
@@ -140,6 +187,34 @@ def test_run_phrase_and_not(qreader):
     assert set(got) == {0, 3, 4}
 
 
+def test_run_or_with_negated_arm(qreader):
+    # docs matching only the complement arm surface with score 0.0:
+    # 'bm25' matches {2}; !"the" matches {2, 3, 4} → union {2, 3, 4}
+    got = run_query(
+        qreader,
+        'find {text: ~= "bm25" || !text: ~= "the"} order score() desc '
+        "return {id: ._id, s: score()}",
+    )
+    rows = got.collect()
+    assert [r["id"] for r in rows] == [2, 3, 4]
+    # docs 3 and 4 match only through the complement arm → zero BM25 mass
+    by_id = {r["id"]: r["s"] for r in rows}
+    assert by_id[2] > 0.0 and by_id[3] == 0.0 and by_id[4] == 0.0
+
+
+def test_run_score_ascending(qreader):
+    # the reference defaults `order score()` to ASC (parser.rs:1124-1130):
+    # limit must keep the LOWEST-scoring matches
+    # 'shuffle' matches docs 0/1/3/4, tf=1 each; docs 0/1/3 tie on dl=6,
+    # doc 4 has dl=7 → the strictly lowest score. Ascending limit 2 must
+    # keep doc 4 then the smallest-docID member of the tied group (0) —
+    # NOT the top of the descending ranking.
+    asc2 = run_query(qreader, 'find {text: ~= "shuffle"} order score() limit 2')
+    assert [r["doc_id"] for r in asc2.collect()] == [4, 0]
+    desc2 = run_query(qreader, 'find {text: ~= "shuffle"} order score() desc limit 2')
+    assert 4 not in {r["doc_id"] for r in desc2.collect()}
+
+
 def test_run_field_predicates_and_order(qreader):
     got = run_query(
         qreader, 'find {text: ~= "shuffle" && lang: == "de"} order .doc_id desc'
@@ -155,7 +230,7 @@ def test_run_return_object_with_default(qreader):
         'find {text: ~= "bm25"} return {id: ._id, lg: .lang, x: .nope default=42}',
     ).collect()
     assert len(rows) == 1
-    r = rows[0]["result"]
+    r = rows[0]  # top-level object return = one column per key
     assert r["id"] == 2 and r["lg"] == "de" and r["x"] == 42
     # missing field WITHOUT default is an error
     with pytest.raises(ParseError, match="unknown return field"):
@@ -170,8 +245,42 @@ def test_run_return_score_and_array(qreader):
     assert float(rows[0]["result"][1]) > 0
 
 
+def test_parse_bind_variable():
+    spec = parse_query('find {tags: x::[== "red"]} return x', analyzer="whitespace")
+    assert spec.node == P.Bind("x", "tags", "==", "red")
+    assert spec.binds == {"x": spec.node}
+
+
+def test_run_bind_variable(qreader):
+    # bind over a VIRTUAL array field (the token list) — matches docs
+    # with a qualifying element and returns the matched elements as an
+    # array (src/filters.rs:1068-1152, src/returnable.rs:348-402)
+    from pyspark.sql import functions as F
+
+    qreader.virtual_fields["tokens"] = lambda d: F.split("text", " ", -1)
+    try:
+        rows = run_query(
+            qreader,
+            'find {tokens: x::[== "shuffle"]} return {id: ._id, m: x}',
+        ).collect()
+        assert [r["id"] for r in rows] == [0, 1, 3, 4]
+        assert all(list(r["m"]) == ["shuffle"] for r in rows)
+        # numeric element range over a derived numeric array
+        qreader.virtual_fields["lens"] = lambda d: F.transform(
+            F.split("text", " ", -1), lambda t: F.length(t)
+        )
+        rows = run_query(
+            qreader, "find {lens: y::[>= 9]} return {id: ._id, n: y}"
+        ).collect()
+        # docs with a token of length >= 9 (executors/broadcast/frequency/partition)
+        assert [r["id"] for r in rows] == [0, 1, 2, 4]
+        assert all(all(n >= 9 for n in r["n"]) and r["n"] for r in rows)
+    finally:
+        qreader.virtual_fields.clear()
+
+
 def test_run_exact_match_binary_score(qreader):
     rows = run_query(
         qreader, f'find {{text: == "{DOCS[2][1]}"}} return {{i: ._id, s: score()}}'
     ).collect()
-    assert [(r["result"]["i"], r["result"]["s"]) for r in rows] == [(2, 1.0)]
+    assert [(r["i"], r["s"]) for r in rows] == [(2, 1.0)]
