@@ -142,6 +142,12 @@ class BuildConfig:
     # name it here to skip the rank-over-url numbering shuffle entirely
     # (a large scale win when ids pre-exist).
     doc_id_col: str | None = None
+    # Non-indexed columns carried through into the doc store — the
+    # reference's V value-store keeps the whole shredded document
+    # (src/json_shred.rs:361-399); here any column a query may filter,
+    # return, or derive virtual fields from (e.g. bbox coordinates).
+    # Supported on the pre-extracted path (input already has `text`).
+    extra_doc_cols: tuple = ()
     extra: dict = field(default_factory=dict)
 
 
@@ -348,8 +354,14 @@ def build_index(
         extra_fields = [
             f for f in cfg.fields if f not in ("text", "warc_ts", "lang") and f in cols
         ]
+        extra_keep = [c for c in cfg.extra_doc_cols if c in cols]
         keep = list(
-            dict.fromkeys(["warc_ts", "lang"] + (["text"] if has_text else []) + extra_fields)
+            dict.fromkeys(
+                ["warc_ts", "lang"]
+                + (["text"] if has_text else [])
+                + extra_fields
+                + extra_keep
+            )
         )
         if "html" in cols and cfg.verify_extraction:
             # extract text from html FIRST and drop the heavy html payload

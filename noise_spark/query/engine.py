@@ -355,6 +355,18 @@ class IndexReader:
                 .filter(F.exists(F.col(node.field), pred))
                 .select("doc_id")
             )
+        if isinstance(node, P.BboxOverlap):
+            from ..datapipe.geo import bbox_overlap
+
+            return (
+                self.docs_view()
+                .filter(
+                    bbox_overlap(
+                        F.col(node.field), node.west, node.south, node.east, node.north
+                    )
+                )
+                .select("doc_id")
+            )
         if isinstance(node, P.AllDocs):
             return self.docs.select("doc_id")
         raise TypeError(type(node))
@@ -486,7 +498,7 @@ class IndexReader:
         binary 1.0 like the reference (src/filters.rs:363-368, 487-492);
         any plan containing scoring terms ranks by BM25 with the filters
         shaping the candidate set."""
-        if isinstance(node, (P.ExactMatch, P.FieldEq, P.FieldRange, P.AllDocs, P.Bind)) or not self._term_boosts(node):
+        if isinstance(node, (P.ExactMatch, P.FieldEq, P.FieldRange, P.AllDocs, P.Bind, P.BboxOverlap)) or not self._term_boosts(node):
             return (
                 self._match_set(node)
                 .withColumn("score", F.lit(1.0))

@@ -3,8 +3,7 @@
 A recursive-descent parser for the reference's query surface
 (``/root/reference/src/parser.rs:665-1307``) onto the plan AST
 (:mod:`noise_spark.query.plan`) plus order/return/limit specs executed
-as DataFrame operations. Covered grammar (the fulltext-tier subset —
-geo ``&&`` bboxes are out of tier, SURVEY §7):
+as DataFrame operations. Covered grammar:
 
 - ``find {f: ~= "w"}``            stemmed word / phrase (multi-word)
 - ``find {f: ~N= "w1 w2"}``       proximity within N words
@@ -18,6 +17,9 @@ geo ``&&`` bboxes are out of tier, SURVEY §7):
 - ``find {}``                     all docs
 - ``{f: x::[== <json>]}`` + ``return x``  bind variable over an
   array-valued (possibly virtual) field (src/filters.rs:1068-1152)
+- ``{g: && [W,S,E,N]}``           geo bbox overlap over a bbox struct
+  field (src/filters.rs:503-586; Z-order bucketing is the scale path,
+  see :mod:`noise_spark.datapipe.geo`)
 - ``params {...}`` + ``@name``    parameters (src/parser.rs:172-215)
 - ``order .f [asc|desc], score() [desc]`` multi-key sort
 - ``return ._id | .f | score() | {k: .f default=<json>, ...} | [.f, .g]
@@ -343,6 +345,21 @@ class _Parser:
             return _Negated(
                 P.ExactMatch(val) if isinstance(val, str) and fname == "text" else P.FieldEq(fname, val)
             )
+        if op == "&&":
+            # geo bbox overlap: {g: && [W, S, E, N]} (src/parser.rs bbox,
+            # src/filters.rs:503-586); field = a bbox struct column
+            self.next()
+            self.expect("[")
+            coords = [self.literal()]
+            while self.accept(","):
+                coords.append(self.literal())
+            self.expect("]")
+            if len(coords) != 4 or not all(
+                isinstance(c, (int, float)) and not isinstance(c, bool) for c in coords
+            ):
+                raise ParseError("bbox needs [west, south, east, north] numbers")
+            w_, s_, e_, n_ = (float(c) for c in coords)
+            return self._boost(P.BboxOverlap(fname, w_, s_, e_, n_))
         if op in (">", "<", ">=", "<="):
             self.next()
             val = self.literal()

@@ -112,6 +112,28 @@ class AllDocs(Node):
 
 
 @dataclass(frozen=True)
+class BboxOverlap(Node):
+    """Geo bounding-box overlap — the reference's ``{g: && [W,S,E,N]}``
+    over GeoJSON bboxes in an R-tree column family (BboxFilter,
+    src/filters.rs:503-586; shred side src/json_shred.rs:88-109).
+
+    Spark lowering: per-doc bboxes are a typed struct column
+    ``(minx, miny, maxx, maxy)`` (possibly virtual) and overlap is four
+    range conjunctions — plain Catalyst predicates with parquet min/max
+    pushdown. The R-tree's role at scale is played by Z-order bucketing
+    (:func:`noise_spark.datapipe.geo.zorder_cell`): write the table
+    partitioned/clustered by the cell of the bbox centroid and the query
+    prunes to the cells its window covers. Binary-scored (1.0), like the
+    reference (src/filters.rs:572-577)."""
+
+    field: str
+    west: float
+    south: float
+    east: float
+    north: float
+
+
+@dataclass(frozen=True)
 class Bind(Node):
     """Bind variable over an array-valued field — the reference's
     ``{field: x::[<cond>]}`` (BindFilter, src/filters.rs:1068-1152):
