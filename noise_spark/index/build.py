@@ -349,6 +349,10 @@ def build_index(
             if c not in cols:
                 prepared = prepared.withColumn(c, F.lit(None).cast(typ))
         id_cols = [cfg.doc_id_col] if cfg.doc_id_col else (["url"] if "url" in cols else [])
+        if "url" in cols and "url" not in id_cols:
+            # pre-assigned docIDs must not cost the real url column (it
+            # is the delete/upsert key and the doc's identity surface)
+            id_cols = id_cols + ["url"]
         # docs-stage payload: canonical cols that exist + every indexed field
         has_text = "text" in cols or "html" in cols
         extra_fields = [

@@ -211,8 +211,14 @@ def delete_docs(spark: SparkSession, index_dir: str, urls) -> dict:
     all_tombs.coalesce(1).write.mode("overwrite").parquet(paths["tombstones"])
     new_delta.coalesce(1).write.mode("overwrite").parquet(paths["term_stats_delta"])
     cd.coalesce(1).write.mode("overwrite").parquet(paths["corpus_stats_delta"])
+    n_tombs = spark.read.parquet(paths["tombstones"]).count()
     # ONE atomic publish for all three, then GC superseded versions
-    cat.commit_stages({s: (p, {}) for s, p in paths.items()})
+    cat.commit_stages(
+        {
+            s: (p, {"n_tombstones": n_tombs} if s == "tombstones" else {})
+            for s, p in paths.items()
+        }
+    )
     cat.gc_unreferenced(MUTABLE_STAGES)
     return {"deleted": n_removed}
 
@@ -233,9 +239,81 @@ def upsert_docs(
 def compact(
     spark: SparkSession, index_dir: str, out_dir: str, config: BuildConfig | None = None
 ) -> dict:
-    """Fold all generations minus tombstones into a fresh base build."""
+    """Fold all generations minus tombstones into a fresh base build
+    (the compaction-filter GC, src/index.rs:271-282). Every doc-store
+    column rides along (multi-field / extra_doc_cols indexes compact
+    losslessly) and surviving docIDs are PRESERVED (the reference's GC
+    never renumbers seqs) unless the caller's config names its own
+    doc_id_col."""
+    import dataclasses
+
     from ..query.engine import IndexReader
 
     reader = IndexReader(spark, index_dir)
-    pages = reader.docs.select("url", "warc_ts", "lang", "text")
-    return build_index(spark, pages, out_dir, config)
+    cfg = config
+    if cfg is None:
+        # infer the original shape: same indexed fields, carry every
+        # other doc-store column through as a non-indexed extra
+        cfg = BuildConfig(fields=tuple(reader.fields))
+    known = {"doc_id", "url", "html"} | set(cfg.fields) | {"warc_ts", "lang", "text"}
+    extras = tuple(c for c in reader.docs.columns if c not in known)
+    cfg = dataclasses.replace(
+        cfg, extra_doc_cols=tuple(dict.fromkeys(tuple(cfg.extra_doc_cols) + extras))
+    )
+    if cfg.doc_id_col is None:
+        cfg = dataclasses.replace(cfg, doc_id_col="doc_id")
+        pages = reader.docs
+    else:
+        pages = reader.docs.drop("doc_id")
+    return build_index(spark, pages, out_dir, cfg)
+
+
+def compaction_due(
+    spark: SparkSession,
+    index_dir: str,
+    *,
+    max_generations: int = 8,
+    max_tombstone_frac: float = 0.2,
+) -> dict:
+    """Compaction policy check from MANIFEST METADATA ONLY (no data
+    files read — at 100 TB this is a constant-time driver decision):
+    compaction is due when delta generations pile past
+    ``max_generations`` (every query unions one DataFrame per
+    generation) or tombstones exceed ``max_tombstone_frac`` of built
+    docs (dead postings pay shuffle/scan cost on every query). The
+    counters come from stage commit metrics (`n_docs` on corpus_stats,
+    `n_tombstones` on tombstones)."""
+    manifest = IndexCatalog(index_dir).current_manifest()
+    gens = _generations(manifest)
+    built = 0
+    for g in [""] + gens:
+        stage = f"{g}/corpus_stats" if g else "corpus_stats"
+        info = manifest["stages"].get(stage)
+        if info:
+            built += int(info.get("metrics", {}).get("n_docs", 0) or 0)
+    t_info = manifest["stages"].get("tombstones")
+    n_tombs = int(t_info.get("metrics", {}).get("n_tombstones", 0) or 0) if t_info else 0
+    frac = n_tombs / built if built else 0.0
+    return {
+        "due": len(gens) >= max_generations or frac >= max_tombstone_frac,
+        "generations": len(gens),
+        "n_docs_built": built,
+        "n_tombstones": n_tombs,
+        "tombstone_frac": round(frac, 4),
+    }
+
+
+def maybe_compact(
+    spark: SparkSession,
+    index_dir: str,
+    out_dir: str,
+    config: BuildConfig | None = None,
+    **policy,
+) -> dict:
+    """Run :func:`compact` iff :func:`compaction_due` says so — the
+    maintenance entry a scheduler calls after every append/delete batch."""
+    status = compaction_due(spark, index_dir, **policy)
+    if not status["due"]:
+        return {**status, "compacted": False}
+    metrics = compact(spark, index_dir, out_dir, config)
+    return {**status, "compacted": True, "build": metrics}

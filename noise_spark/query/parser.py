@@ -105,10 +105,16 @@ class RetLiteral:
 
 @dataclass
 class RetBind:
-    """``return x`` for a bind variable — the matched array elements,
-    always as an array (src/returnable.rs:348-402)."""
+    """``return x`` / ``return x.v`` for a bind variable — the matched
+    array elements (optionally projected through a dotted sub-path),
+    always as an array (src/returnable.rs:348-402). ``default`` applies
+    when the bind matched nothing: the result is ``[default]``
+    (repl-tests/bind_var.noise:56-60)."""
 
     name: str
+    path: tuple = ()
+    default: object = None
+    has_default: bool = False
 
 
 @dataclass
@@ -127,7 +133,7 @@ class QuerySpec:
     orders: list = dc_field(default_factory=list)  # [("score"|"field", name, asc)]
     ret: object = None  # None = default ._id
     limit: int | None = None
-    binds: dict = dc_field(default_factory=dict)  # name -> P.Bind
+    binds: dict = dc_field(default_factory=dict)  # name -> [P.Bind, ...]
 
 
 class _Parser:
@@ -136,7 +142,7 @@ class _Parser:
         self.i = 0
         self.params = params or {}
         self.analyzer = analyzer
-        self.binds: dict[str, P.Bind] = {}
+        self.binds: dict[str, list] = {}  # name -> [P.Bind, ...] (same-name merge)
 
     # -- token helpers --------------------------------------------------------
     def peek(self):
@@ -315,16 +321,12 @@ class _Parser:
             self.expect(":")
             self.expect(":")
             self.expect("[")
-            eop = self.peek()[1]
-            if eop not in ("==", "!=", ">", ">=", "<", "<="):
-                raise ParseError(
-                    f"expected an element comparison inside bind [...], got {eop!r}"
-                )
-            self.next()
-            val = self.literal()
+            cond = self._bind_cond()
             self.expect("]")
-            node = P.Bind(name, fname, eop, val)
-            self.binds[name] = node
+            node = P.Bind(name, fname, cond)
+            # same-name binds across ||/&& arms MERGE their matched
+            # elements in the return (repl-tests/bind_var.noise:40-45)
+            self.binds.setdefault(name, []).append(node)
             return self._boost(node)
         if op == "~=":
             self.next()
@@ -373,6 +375,45 @@ class _Parser:
                 return self._boost(P.FieldRange(fname, hi=val, hi_inclusive=False))
             return self._boost(P.FieldRange(fname, hi=val))
         raise ParseError(f"expected a comparison operator, got {op!r}")
+
+    def _bind_cond(self) -> tuple:
+        """Element condition inside bind ``[...]`` — either a bare
+        comparison (scalar arrays, ``x::[== 3]``) or an object condition
+        over element fields with ``||``/``&&`` combos
+        (``x::[{a: == "foo" || a: == "bar"}]`` —
+        repl-tests/bind_var.noise:22-37). Right-recursive at equal
+        precedence, like the reference's obool (parser.rs:732-746)."""
+        _CMP = ("==", "!=", ">", ">=", "<", "<=")
+        if self.peek()[1] == "{":
+            self.next()
+            cond = self._bind_obj_cond(_CMP)
+            self.expect("}")
+            return cond
+        eop = self.peek()[1]
+        if eop not in _CMP:
+            raise ParseError(
+                f"expected an element comparison inside bind [...], got {eop!r}"
+            )
+        self.next()
+        return P.cmp(None, eop, self.literal())
+
+    def _bind_obj_cond(self, _CMP) -> tuple:
+        k, key = self.next()
+        if k != "word":
+            raise ParseError(f"expected an element field name, got {key!r}")
+        self.expect(":")
+        eop = self.peek()[1]
+        if eop not in _CMP:
+            raise ParseError(
+                f"expected an element comparison after {key!r}:, got {eop!r}"
+            )
+        self.next()
+        left = P.cmp(key, eop, self.literal())
+        nxt = self.peek()[1]
+        if nxt in ("||", "&&"):
+            self.next()
+            return ("or" if nxt == "||" else "and", left, self._bind_obj_cond(_CMP))
+        return left
 
     def _word_clause(self, fname: str, val, window: int | None) -> P.Node:
         if not isinstance(val, str):
@@ -442,7 +483,16 @@ class _Parser:
             return RetScore()
         if kind == "word" and v in self.binds:
             self.next()
-            return RetBind(v)
+            path = []
+            while self.peek()[1] == "." and self.toks[self.i + 1][0] == "word":
+                self.next()
+                path.append(self.next()[1])
+            ret = RetBind(v, tuple(path))
+            if self.accept("default"):
+                self.expect("=")
+                ret.default = self.literal()
+                ret.has_default = True
+            return ret
         if v == "{":
             nxt = self.toks[self.i + 1][1]
             if nxt == "}":
@@ -584,9 +634,38 @@ def _ret_column(ret, F, available: set, binds: dict | None = None):
     if isinstance(ret, RetScore):
         return F.col("score")
     if isinstance(ret, RetBind):
-        b = binds[ret.name]
-        # the matched elements, always an array (src/returnable.rs:348-402)
-        return F.filter(F.col(b.field), P.bind_element_pred(b))
+        # the matched elements, always an array (src/returnable.rs:348-402);
+        # same-name binds merge: OR the element predicates per field,
+        # concatenate across fields (repl-tests/bind_var.noise:40-45)
+        by_field: dict[str, list] = {}
+        for b in binds[ret.name]:
+            by_field.setdefault(b.field, []).append(P.bind_element_pred(b))
+        # NB: higher-order-function lambdas must be UNARY — pyspark
+        # dispatches on arity (a second param means (element, index)),
+        # so no default-arg closure tricks here
+        def _or_preds(preds):
+            def pred(e):
+                out = preds[0](e)
+                for p in preds[1:]:
+                    out = out | p(e)
+                return out
+
+            return pred
+
+        def _get(seg):
+            return lambda e: e[seg]
+
+        arrs = [
+            F.filter(F.col(fld), _or_preds(preds)) for fld, preds in by_field.items()
+        ]
+        col = arrs[0] if len(arrs) == 1 else F.concat(*arrs)
+        for seg in ret.path:  # return x.v → project each matched element
+            col = F.transform(col, _get(seg))
+        if ret.has_default:
+            col = F.when(F.size(col) > 0, col).otherwise(
+                F.array(F.lit(ret.default))
+            )
+        return col
     if isinstance(ret, RetLiteral):
         if ret.value == {} or ret.value == []:
             return F.struct() if ret.value == {} else F.array()
@@ -703,7 +782,8 @@ def _collect_ret_fields(ret, out: set, binds: dict | None = None):
     if isinstance(ret, RetPath) and ret.path != "_id":
         out.add(ret.path)
     elif isinstance(ret, RetBind):
-        out.add(binds[ret.name].field)  # bound values project the array field
+        for b in binds[ret.name]:  # bound values project the array field(s)
+            out.add(b.field)
     elif isinstance(ret, RetObject):
         for _, r in ret.items:
             _collect_ret_fields(r, out, binds)

@@ -146,35 +146,59 @@ class Bind(Node):
     ``exists(field, pred)`` and the bound values are
     ``filter(field, pred)`` — both JVM-side higher-order functions, so
     the reference's per-element arraypath bookkeeping costs zero shuffle
-    here. ``op`` ∈ {==, !=, >, >=, <, <=}; ``value`` is the comparand
-    (None = null)."""
+    here.
+
+    ``cond`` is a hashable element-condition tree (the subset the
+    reference's bind grammar reaches, src/parser.rs:1054-1068 +
+    repl-tests/bind_var.noise):
+
+    - ``("cmp", key, op, value)`` — compare the element (``key=None``,
+      scalar arrays) or the element's field ``key`` (arrays of objects,
+      ``x::[{a: == "foo"}]``); ``op`` ∈ {==, !=, >, >=, <, <=},
+      ``value=None`` means JSON null.
+    - ``("or", left, right)`` / ``("and", left, right)`` — boolean
+      combos INSIDE the element condition (``x::[{a: == "x" || a: ==
+      "y"}]``): one element must satisfy the whole combo."""
 
     name: str
     field: str
-    op: str
-    value: object
+    cond: tuple
+
+
+def cmp(key, op, value) -> tuple:
+    """Shorthand for a Bind comparison leaf."""
+    return ("cmp", key, op, value)
 
 
 def bind_element_pred(node: "Bind"):
     """Element-level predicate of a Bind as a Column → Column lambda,
     usable inside ``exists``/``filter`` higher-order functions."""
+    return _cond_pred(node.cond)
+
+
+def _cond_pred(cond: tuple):
     from pyspark.sql import functions as F
 
-    op, v = node.op, node.value
+    tag = cond[0]
+    if tag in ("or", "and"):
+        lp, rp = _cond_pred(cond[1]), _cond_pred(cond[2])
+        return (lambda e: lp(e) | rp(e)) if tag == "or" else (lambda e: lp(e) & rp(e))
+    _, key, op, v = cond
 
     def pred(e):
+        t = e if key is None else e[key]
         if op == "==":
-            return e.isNull() if v is None else e == F.lit(v)
+            return t.isNull() if v is None else t == F.lit(v)
         if op == "!=":
-            return e.isNotNull() if v is None else e != F.lit(v)
+            return t.isNotNull() if v is None else t != F.lit(v)
         if op == ">":
-            return e > F.lit(v)
+            return t > F.lit(v)
         if op == ">=":
-            return e >= F.lit(v)
+            return t >= F.lit(v)
         if op == "<":
-            return e < F.lit(v)
+            return t < F.lit(v)
         if op == "<=":
-            return e <= F.lit(v)
+            return t <= F.lit(v)
         raise ValueError(f"unsupported bind element operator {op!r}")
 
     return pred

@@ -199,10 +199,63 @@ def test_compact_folds_generations(spark, inc_index, tmp_path):
     reader = IndexReader(spark, out)
     assert reader.n_docs == n
     assert reader._tombstones is None and len(reader._gens) == 1
-    # compaction renumbers docIDs (rank over url) — scores must match a
-    # fresh oracle over the compacted docs
+    # docIDs are preserved through compaction (reference GC keeps seqs);
+    # scores must match a fresh oracle over the compacted docs
     _assert_identical(reader, _oracle_for(spark, reader))
     # and the logical corpus (url → text) is unchanged
     before = {r["url"]: r["text"] for r in reader_before.docs.collect()}
     after = {r["url"]: r["text"] for r in reader.docs.collect()}
     assert before == after
+
+
+def test_compact_preserves_ids_and_extra_cols(spark, tmp_path):
+    # compaction must not renumber surviving docIDs (the reference's GC
+    # keeps seqs, src/index.rs:271-282) nor drop non-indexed doc-store
+    # columns carried via extra_doc_cols
+    import datetime
+
+    rows = [
+        (i, f"https://x.test/{i}", datetime.datetime(2024, 1, 1), f"alpha beta doc{i}", "en", i * 1.5)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, url string, warc_ts timestamp, text string, lang string, extra double"
+    )
+    idx = str(tmp_path / "idx")
+    build_index(
+        spark, df, idx,
+        BuildConfig(block_size=8, doc_id_col="doc_id", extra_doc_cols=("extra",)),
+    )
+    delete_docs(spark, idx, [f"https://x.test/{i}" for i in (0, 7)])
+    out = str(tmp_path / "compacted")
+    compact(spark, idx, out)  # no config: shape inferred from the index
+    reader = IndexReader(spark, out)
+    got = {r["doc_id"]: r["extra"] for r in reader.docs.collect()}
+    assert got == {i: i * 1.5 for i in range(20) if i not in (0, 7)}
+
+
+def test_compaction_policy(spark, inc_index, tmp_path):
+    from noise_spark.index.incremental import compaction_due, maybe_compact
+
+    # by now the fixture has >=1 delta generation and tombstones from
+    # the delete/upsert tests; the policy reads ONLY manifest metrics
+    st = compaction_due(spark, inc_index)
+    assert st["generations"] >= 1 and st["n_tombstones"] > 0
+    assert 0 < st["tombstone_frac"] < 1
+    # lax thresholds -> not due; maybe_compact is a no-op
+    lax = maybe_compact(
+        spark, inc_index, str(tmp_path / "no"),
+        max_generations=99, max_tombstone_frac=0.99,
+    )
+    assert lax["compacted"] is False
+    # strict thresholds -> due; compaction folds to a single generation
+    out = str(tmp_path / "yes")
+    strict = maybe_compact(
+        spark, inc_index, out, BuildConfig(block_size=64),
+        max_generations=1, max_tombstone_frac=0.0001,
+    )
+    assert strict["compacted"] is True
+    reader = IndexReader(spark, out)
+    assert reader._tombstones is None and len(reader._gens) == 1
+    assert reader.n_docs == IndexReader(spark, inc_index).n_docs
+    _assert_identical(reader, _oracle_for(spark, reader))

@@ -247,8 +247,27 @@ def test_run_return_score_and_array(qreader):
 
 def test_parse_bind_variable():
     spec = parse_query('find {tags: x::[== "red"]} return x', analyzer="whitespace")
-    assert spec.node == P.Bind("x", "tags", "==", "red")
-    assert spec.binds == {"x": spec.node}
+    assert spec.node == P.Bind("x", "tags", P.cmp(None, "==", "red"))
+    assert spec.binds == {"x": [spec.node]}
+
+
+def test_parse_bind_object_condition():
+    # arrays-of-objects element predicates with ||/&& combos
+    # (repl-tests/bind_var.noise:10-37)
+    spec = parse_query(
+        'find {bar: x::[{a: == "foo" || a: == "bar"}]} return x.v',
+        analyzer="whitespace",
+    )
+    assert spec.node == P.Bind(
+        "x", "bar", ("or", P.cmp("a", "==", "foo"), P.cmp("a", "==", "bar"))
+    )
+    assert spec.ret.path == ("v",)
+    # same-name binds across OR arms merge (bind_var.noise:40-45)
+    spec2 = parse_query(
+        'find {bar: x::[{a: == "foo"}] || bar: x::[{a: == "bar"}]} return x.v',
+        analyzer="whitespace",
+    )
+    assert len(spec2.binds["x"]) == 2
 
 
 def test_run_bind_variable(qreader):
@@ -277,6 +296,61 @@ def test_run_bind_variable(qreader):
         assert all(all(n >= 9 for n in r["n"]) and r["n"] for r in rows)
     finally:
         qreader.virtual_fields.clear()
+
+
+def test_run_bind_object_elements(spark, tmp_path_factory):
+    # the reference's bind_var.noise golden shapes over a REAL
+    # array-of-structs doc field (carried via extra_doc_cols):
+    # add {"_id":"1","bar":[{"a":"foo","v":1},{"a":"bar","v":2}]}
+    rows = [
+        (1, "doc one", [("foo", 1), ("bar", 2)]),
+        (2, "doc two", [("baz", 3)]),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, bar array<struct<a:string,v:long>>"
+    )
+    idx = str(tmp_path_factory.mktemp("bind") / "idx")
+    build_index(
+        spark, df, idx,
+        BuildConfig(
+            analyzer="whitespace", doc_id_col="doc_id", block_size=4,
+            extra_doc_cols=("bar",),
+        ),
+    )
+    r = IndexReader(spark, idx)
+
+    def run(q):
+        return [list(row["result"]) for row in run_query(r, q).collect()]
+
+    # return x → the matched elements (bind_var.noise:10-14)
+    got = run('find {bar: x::[{a: == "foo"}]} return x')
+    assert got == [[{"a": "foo", "v": 1}]] or got == [
+        [type(got[0][0])(a="foo", v=1)]
+    ]
+    assert got[0][0]["a"] == "foo" and got[0][0]["v"] == 1 and len(got) == 1
+    # return x.v → sub-path projection (bind_var.noise:16-20)
+    assert run('find {bar: x::[{a: == "foo"}]} return x.v') == [[1]]
+    # || inside the element condition (bind_var.noise:22-26)
+    assert run(
+        'find {bar: x::[{a: == "foo" || a: == "bar"}]} return x.v'
+    ) == [[1, 2]]
+    assert run(
+        'find {bar: x::[{a: == "foo" || a: == "baz"}]} return x.v'
+    ) == [[1], [3]]
+    # same-name binds merge across OR arms (bind_var.noise:40-45)
+    assert run(
+        'find {bar: x::[{a: == "foo"}] || bar: x::[{a: == "bar"}]} return x.v'
+    ) == [[1, 2]]
+    # distinct binds + default on the unmatched one (bind_var.noise:47-60)
+    got = run(
+        'find {bar: x::[{a: == "foo"}] || bar: y::[{a: == "baz"}]}'
+        " return [x.v, y.v default=0]"
+    )
+    assert got == [["[1]", "[0]"], ["[]", "[3]"]]
+    # && where one side never matches → empty (bind_var.noise:62-65)
+    assert run(
+        'find {bar: x::[{a: == "foo"}] && bar: y::[{a: == "nope"}]} return x.v'
+    ) == []
 
 
 def test_run_exact_match_binary_score(qreader):
