@@ -1422,23 +1422,38 @@ def dp_simhash_band_pairs(spark, sf_dir):
     "ft_bind_var",
     """
 SELECT doc_id AS id,
-       array_to_string(list_filter(string_split(text, ' '), t -> t = 'dup'), ' ') AS m
+       array_to_string(
+         list_transform(
+           list_filter(
+             list_transform(string_split(text, ' '), t -> {'w': t, 'n': length(t)}),
+             e -> e.w = 'dup' OR e.n >= 8),
+           e -> e.w),
+         ' ') AS m
 FROM documents
-WHERE list_contains(string_split(text, ' '), 'dup')
+WHERE len(list_filter(string_split(text, ' '),
+                      t -> t = 'dup' OR length(t) >= 8)) > 0
 ORDER BY id
 """,
 )
 def ft_bind_var(spark, sf_dir):
-    # bind variable x::[...] over an array field (src/filters.rs:1068-1152,
-    # src/returnable.rs:348-402): match = exists(arr, pred), return x =
-    # filter(arr, pred) — JVM higher-order functions, zero shuffle. The
-    # token array is a VIRTUAL field (the reference shreds arbitrary
-    # keypaths; our typed corpus derives them as column expressions).
+    # bind variable over an array-of-OBJECTS field with an ||-combo
+    # element condition (src/filters.rs:1068-1152, repl-tests/
+    # bind_var.noise:22-26) plus `return x.w` sub-path projection
+    # (src/returnable.rs:348-402): match = exists(arr, pred), return =
+    # transform(filter(arr, pred), e -> e.w) — JVM higher-order
+    # functions, zero shuffle. The struct array is a VIRTUAL field (the
+    # reference shreds arbitrary keypaths; our typed corpus derives
+    # them as column expressions).
     from .query.parser import run_query
 
     r = doc_index(spark, sf_dir)
-    r.virtual_fields["tokens"] = lambda d: F.split("text", " ", -1)
-    out = run_query(r, 'find {tokens: x::[== "dup"]} return {id: ._id, m: x}')
+    r.virtual_fields["toks"] = lambda d: F.transform(
+        F.split("text", " ", -1),
+        lambda t: F.struct(t.alias("w"), F.length(t).alias("n")),
+    )
+    out = run_query(
+        r, 'find {toks: x::[{w: == "dup" || n: >= 8}]} return {id: ._id, m: x.w}'
+    )
     return out.select("id", F.array_join("m", " ").alias("m")).orderBy("id")
 
 
