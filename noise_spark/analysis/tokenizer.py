@@ -47,6 +47,23 @@ def segments(text: str):
         yield m.group()
 
 
+def _normalize(seg: str) -> str:
+    # ASCII is NFKC-invariant — the overwhelming web-text case skips the
+    # normalization call entirely (str.isascii is a C-level scan)
+    return seg if seg.isascii() else unicodedata.normalize("NFKC", seg)
+
+
+# segment-level memo: raw segment -> stemmed/lowered term, or None for
+# non-alphabetic segments. Web text is Zipf-distributed, so the hit rate
+# is ~1 after warm-up and the whole normalize→isalpha→lower→stem chain
+# collapses to one dict probe per repeated segment. Keyed on the RAW
+# segment, so cached and uncached paths are byte-identical. Bounded per
+# executor worker; two caches because `stem` changes the mapping.
+_SEG_CACHE_MAX = 1_000_000
+_SEG_CACHE: dict = {True: {}, False: {}}
+_MISS = object()
+
+
 def stems(text: str, stem: bool = True) -> List[Tuple[int, str]]:
     """Tokenize ``text`` → list of ``(word_pos, term)``.
 
@@ -57,14 +74,26 @@ def stems(text: str, stem: bool = True) -> List[Tuple[int, str]]:
     out: List[Tuple[int, str]] = []
     non_alpha: List[str] = []
     pos = 0
-    for seg in segments(text):
-        norm = unicodedata.normalize("NFKC", seg)
-        if norm and norm[0].isalpha():
-            low = norm.lower()
-            out.append((pos, porter2.stem_cached(low) if stem else low))
+    cache = _SEG_CACHE[stem]
+    # findall returns the matched strings directly (no Match objects —
+    # the pattern's only group-free alternation makes this equivalent to
+    # [m.group() for m in finditer])
+    for seg in _WORD_RE.findall(text):
+        tok = cache.get(seg, _MISS)
+        if tok is _MISS:
+            norm = _normalize(seg)
+            if norm and norm[0].isalpha():
+                low = norm.lower()
+                tok = porter2.stem_cached(low) if stem else low
+            else:
+                tok = None
+            if len(cache) < _SEG_CACHE_MAX:
+                cache[seg] = tok
+        if tok is not None:
+            out.append((pos, tok))
             pos += 1
         elif pos == 0:
-            non_alpha.append(norm)
+            non_alpha.append(_normalize(seg))
     if not out:
         return [(0, "".join(non_alpha))]
     return out

@@ -148,7 +148,11 @@ def for_decode(buf: bytes) -> np.ndarray:
 def vb_row(values) -> bytes:
     """Tiny pure-Python LEB128 for short per-row sequences (the per-
     posting positions payload: [count, first, delta...]). For the 1-5
-    value typical case this beats a numpy round-trip per row."""
+    value typical case this beats a numpy round-trip per row. Fast path:
+    when every value fits 7 bits (the common dense-delta case) the
+    varbyte encoding IS the raw byte string."""
+    if max(values) < 0x80:
+        return bytes(values)
     out = bytearray()
     for v in values:
         v = int(v)
@@ -163,6 +167,9 @@ def positions_row(positions: list) -> bytes:
     """Encode one posting's positions as varbyte [n, p0, Δ...] — exactly
     one doc's slice of a block positions payload, so block assembly is a
     plain concatenation of row buffers."""
+    if len(positions) == 1:  # tf==1 dominates under Zipf — no delta loop
+        p0 = positions[0]
+        return bytes((1, p0)) if p0 < 0x80 else vb_row((1, p0))
     vals = [len(positions)]
     prev = 0
     for p in positions:
