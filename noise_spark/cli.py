@@ -14,6 +14,10 @@ find/dumpkeys). Commands:
                                 nested booleans, NOT-legality errors)
     stats                       corpus stats
     stages                      manifest stage listing (the 'dumpkeys')
+    compact <out_dir>           fold generations minus tombstones into a
+                                fresh base at out_dir (docIDs preserved)
+    gc [max_gens] [max_frac]    compaction-policy check (manifest
+                                metrics only); prints the decision inputs
     exit
 
 Query syntax (flat re-expression of Noise's find clause):
@@ -149,6 +153,22 @@ def repl(index_dir: str | None = None):  # pragma: no cover — interactive
                 m = IndexCatalog(index_dir).current_manifest()
                 for name, info in sorted(m["stages"].items()):
                     print(f"  {name}: rows={info['rows']} files={info['files']}")
+            elif cmd == "compact":
+                from .index.incremental import compact
+
+                out = rest.strip()
+                compact(spark, index_dir, out)
+                print(f"compacted -> {out}")
+            elif cmd == "gc":
+                from .index.incremental import compaction_due
+
+                args = rest.split()
+                kw = {}
+                if args:
+                    kw["max_generations"] = int(args[0])
+                if len(args) > 1:
+                    kw["max_tombstone_frac"] = float(args[1])
+                print(json.dumps(compaction_due(spark, index_dir, **kw)))
             else:
                 print(f"unknown command: {cmd}")
         except Exception as e:  # noqa: BLE001

@@ -26,8 +26,18 @@ import uuid
 import zlib
 
 
+class CommitConflict(RuntimeError):
+    """Raised when a compare-and-swap commit finds the catalog moved on
+    from the snapshot the writer based its update on (Iceberg's
+    CommitFailedException — retry by re-reading and re-deriving)."""
+
+
+_UNSET = object()
+
+
 class IndexCatalog:
     CURRENT = "_CURRENT"
+    LOCK = "_COMMIT_LOCK"
 
     def __init__(self, root: str):
         self.root = root
@@ -85,7 +95,31 @@ class IndexCatalog:
         new snapshot: append-only manifest + atomic pointer swap."""
         return self.commit_stages({stage: (self.stage_path(stage), metrics or {})})[stage]
 
-    def commit_stages(self, updates: dict) -> dict:
+    def _acquire_lock(self, timeout: float = 60.0, stale: float = 300.0) -> str:
+        """Create-if-absent lock file serializing read-merge-swap commits
+        on this filesystem (on a real cluster the Iceberg catalog's CAS
+        plays this role). A lock older than ``stale`` seconds is broken
+        (crashed writer)."""
+        lock = os.path.join(self.root, self.LOCK)
+        deadline = time.time() + timeout
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return lock
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) > stale:
+                        os.unlink(lock)
+                        continue
+                except FileNotFoundError:
+                    continue
+                if time.time() > deadline:
+                    raise TimeoutError(f"commit lock {lock} held too long")
+                time.sleep(0.05)
+
+    def commit_stages(self, updates: dict, expected_parent=_UNSET) -> dict:
         """Publish SEVERAL stages in one manifest + one pointer swap —
         the atomic multi-table commit mutable maintenance needs (e.g.
         tombstones + term-stat deltas + corpus-stat deltas must become
@@ -97,8 +131,32 @@ class IndexCatalog:
         resolve data through the manifest's recorded path, so old
         versions stay intact for readers pinned to earlier snapshots
         until they are garbage-collected.
+
+        Concurrency: the read-merge-swap runs under a commit lock, so
+        concurrent writers touching DISJOINT stages serialize and both
+        land. Pass ``expected_parent`` (the snapshot_id the update was
+        derived from) for compare-and-swap semantics: if another writer
+        committed in between, :class:`CommitConflict` is raised and
+        NOTHING is published — the caller re-reads and re-derives
+        (required for read-modify-write updates like tombstone merges,
+        where last-writer-wins would silently drop a concurrent delete).
         """
+        lock = self._acquire_lock()
+        try:
+            return self._commit_stages_locked(updates, expected_parent)
+        finally:
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:  # pragma: no cover - stale-break race
+                pass
+
+    def _commit_stages_locked(self, updates: dict, expected_parent) -> dict:
         prev = self.current_manifest()
+        if expected_parent is not _UNSET and prev.get("snapshot_id") != expected_parent:
+            raise CommitConflict(
+                f"catalog moved: expected parent {expected_parent}, "
+                f"found {prev.get('snapshot_id')}"
+            )
         snapshot_id = uuid.uuid4().hex[:16]
         manifest = {
             "snapshot_id": snapshot_id,

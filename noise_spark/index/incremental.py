@@ -150,6 +150,10 @@ def delete_docs(spark: SparkSession, index_dir: str, urls) -> dict:
 
     reader = IndexReader(spark, index_dir)  # excludes prior tombstones
     cat = IndexCatalog(index_dir)
+    # the commit CASes on this snapshot: a concurrent writer between
+    # here and the publish raises CommitConflict instead of silently
+    # losing its tombstones/stat deltas in our read-modify-write merge
+    base_snapshot = cat.current_manifest().get("snapshot_id")
     if isinstance(urls, DataFrame):
         victims = reader.docs.join(
             urls.select("url").distinct(), "url", "left_semi"
@@ -217,7 +221,8 @@ def delete_docs(spark: SparkSession, index_dir: str, urls) -> dict:
         {
             s: (p, {"n_tombstones": n_tombs} if s == "tombstones" else {})
             for s, p in paths.items()
-        }
+        },
+        expected_parent=base_snapshot,
     )
     cat.gc_unreferenced(MUTABLE_STAGES)
     return {"deleted": n_removed}
