@@ -142,6 +142,13 @@ class BuildConfig:
     # name it here to skip the rank-over-url numbering shuffle entirely
     # (a large scale win when ids pre-exist).
     doc_id_col: str | None = None
+    # Omit per-posting position payloads (Lucene's omit-positions
+    # equivalent). Positions are the largest single payload at corpus
+    # scale; an index that never serves phrase/proximity queries should
+    # not pay for them — phrase/~N= against such an index raise a clear
+    # error instead of silently matching nothing. BM25/boolean results
+    # are identical either way (tf/dl are kept).
+    store_positions: bool = True
     # Non-indexed columns carried through into the doc store — the
     # reference's V value-store keeps the whole shredded document
     # (src/json_shred.rs:361-399); here any column a query may filter,
@@ -161,7 +168,9 @@ class BuildConfig:
 POSITION_GAP = 1_000
 
 
-def _tokenize_batches(analyzer_name: str, verify: bool, fields: tuple = ("text",)):
+def _tokenize_batches(
+    analyzer_name: str, verify: bool, fields: tuple = ("text",), store_positions: bool = True
+):
     analyze = ANALYZERS[analyzer_name]
     scoped = len(fields) > 1
 
@@ -191,7 +200,9 @@ def _tokenize_batches(analyzer_name: str, verify: bool, fields: tuple = ("text",
                         terms_col.append(prefix + term)
                         docs_col.append(doc_id)
                         tfs_col.append(len(positions))
-                        pos_col.append(codec.positions_row(positions))
+                        pos_col.append(
+                            codec.positions_row(positions) if store_positions else b""
+                        )
                         dl_col.append(dl)
             yield pd.DataFrame(
                 {
@@ -414,7 +425,9 @@ def build_index(
     if missing_fields:
         raise ValueError(f"indexed fields not in docs table: {missing_fields}")
     postings = docs.select("doc_id", *cfg.fields).mapInPandas(
-        _tokenize_batches(cfg.analyzer, cfg.verify_extraction, tuple(cfg.fields)),
+        _tokenize_batches(
+            cfg.analyzer, cfg.verify_extraction, tuple(cfg.fields), cfg.store_positions
+        ),
         schema=POSTINGS_SCHEMA,
     )
 
@@ -435,7 +448,9 @@ def build_index(
         )
         est = (
             sample.mapInPandas(
-                _tokenize_batches(cfg.analyzer, cfg.verify_extraction, tuple(cfg.fields)),
+                _tokenize_batches(
+                    cfg.analyzer, cfg.verify_extraction, tuple(cfg.fields), False
+                ),
                 schema=POSTINGS_SCHEMA,
             )
             .groupBy("term")
@@ -488,7 +503,10 @@ def build_index(
             ).parquet(cat.stage_path(sp("segments")))
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        commit("segments", {"seconds": time.time() - t0})
+        commit(
+            "segments",
+            {"seconds": time.time() - t0, "positions": cfg.store_positions},
+        )
 
     # -- stage C: term stats from segment metadata (no token re-scan) --------
     if not done("term_stats"):

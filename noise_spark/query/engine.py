@@ -131,6 +131,15 @@ class IndexReader:
         self._df_cache: dict[str, int] = {}
         ts_info = stages.get("term_stats") or {}
         self.analyzer = (ts_info.get("metrics") or {}).get("analyzer", "porter")
+        # positions are optional (BuildConfig.store_positions=False omits
+        # the payload); every generation must agree for phrase/prox to work
+        self.has_positions = all(
+            (stages[f"{g}/segments" if g else "segments"].get("metrics") or {}).get(
+                "positions", True
+            )
+            for g in gens
+            if (f"{g}/segments" if g else "segments") in stages
+        )
         # virtual (derived) document fields: name → (docs DF → Column).
         # The typed-column re-expression of the reference's dynamic
         # keypaths (arbitrary shredded paths, src/json_shred.rs:485-576):
@@ -384,6 +393,12 @@ class IndexReader:
         are found relationally over the bucket-pruned segments; position
         verification is one Arrow-batched grouped-map over the per-doc
         position lists."""
+        if not self.has_positions:
+            raise ValueError(
+                "index was built with store_positions=False — phrase/"
+                "proximity queries need position payloads (rebuild with "
+                "BuildConfig(store_positions=True))"
+            )
         n_terms = len(set(terms))
         posts = self._positional_postings(sorted(set(terms)))
         grouped = (
