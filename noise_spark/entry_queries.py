@@ -1447,13 +1447,18 @@ def ft_bind_var(spark, sf_dir):
     from .query.parser import run_query
 
     r = doc_index(spark, sf_dir)
+    # the reader is session-cached and shared across entries — register
+    # the virtual field only for plan construction, then remove it
     r.virtual_fields["toks"] = lambda d: F.transform(
         F.split("text", " ", -1),
         lambda t: F.struct(t.alias("w"), F.length(t).alias("n")),
     )
-    out = run_query(
-        r, 'find {toks: x::[{w: == "dup" || n: >= 8}]} return {id: ._id, m: x.w}'
-    )
+    try:
+        out = run_query(
+            r, 'find {toks: x::[{w: == "dup" || n: >= 8}]} return {id: ._id, m: x.w}'
+        )
+    finally:
+        r.virtual_fields.pop("toks", None)
     return out.select("id", F.array_join("m", " ").alias("m")).orderBy("id")
 
 

@@ -378,6 +378,12 @@ def build_index(
                 + extra_keep
             )
         )
+        if "html" in cols and cfg.verify_extraction and extra_keep:
+            raise ValueError(
+                "extra_doc_cols is only supported on the pre-extracted "
+                "path (input already has `text`, no `html`): the html "
+                f"extraction stage does not carry {extra_keep} through"
+            )
         if "html" in cols and cfg.verify_extraction:
             # extract text from html FIRST and drop the heavy html payload
             # so the numbering shuffle/persist only carries extracted text

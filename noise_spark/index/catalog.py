@@ -95,29 +95,47 @@ class IndexCatalog:
         new snapshot: append-only manifest + atomic pointer swap."""
         return self.commit_stages({stage: (self.stage_path(stage), metrics or {})})[stage]
 
-    def _acquire_lock(self, timeout: float = 60.0, stale: float = 300.0) -> str:
+    def _acquire_lock(self, timeout: float = 60.0, stale: float = 300.0) -> tuple:
         """Create-if-absent lock file serializing read-merge-swap commits
         on this filesystem (on a real cluster the Iceberg catalog's CAS
-        plays this role). A lock older than ``stale`` seconds is broken
-        (crashed writer)."""
+        plays this role). Returns ``(path, token)``; release verifies the
+        token so a writer can never unlink a lock it no longer owns.
+        A lock older than ``stale`` seconds (crashed writer) is broken by
+        atomically RENAMING it aside first — rename has a single winner,
+        so two waiters can't both break it and both enter the critical
+        section."""
         lock = os.path.join(self.root, self.LOCK)
+        token = uuid.uuid4().hex
         deadline = time.time() + timeout
         while True:
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, str(os.getpid()).encode())
+                os.write(fd, token.encode())
                 os.close(fd)
-                return lock
+                return lock, token
             except FileExistsError:
                 try:
                     if time.time() - os.path.getmtime(lock) > stale:
-                        os.unlink(lock)
+                        broken = f"{lock}.broken-{token}"
+                        os.rename(lock, broken)  # atomic: one winner
+                        os.unlink(broken)
                         continue
                 except FileNotFoundError:
                     continue
+                except OSError:
+                    pass  # lost the break race — re-probe
                 if time.time() > deadline:
                     raise TimeoutError(f"commit lock {lock} held too long")
                 time.sleep(0.05)
+
+    def _release_lock(self, lock: str, token: str) -> None:
+        try:
+            with open(lock) as f:
+                if f.read().strip() != token:
+                    return  # broken as stale and re-acquired — not ours
+            os.unlink(lock)
+        except FileNotFoundError:
+            pass
 
     def commit_stages(self, updates: dict, expected_parent=_UNSET) -> dict:
         """Publish SEVERAL stages in one manifest + one pointer swap —
@@ -141,14 +159,11 @@ class IndexCatalog:
         (required for read-modify-write updates like tombstone merges,
         where last-writer-wins would silently drop a concurrent delete).
         """
-        lock = self._acquire_lock()
+        lock, token = self._acquire_lock()
         try:
             return self._commit_stages_locked(updates, expected_parent)
         finally:
-            try:
-                os.unlink(lock)
-            except FileNotFoundError:  # pragma: no cover - stale-break race
-                pass
+            self._release_lock(lock, token)
 
     def _commit_stages_locked(self, updates: dict, expected_parent) -> dict:
         prev = self.current_manifest()
@@ -191,16 +206,24 @@ class IndexCatalog:
         os.replace(ptr_tmp, os.path.join(self.root, self.CURRENT))
         return out
 
-    def gc_unreferenced(self, prefixes: tuple) -> list[str]:
+    def gc_unreferenced(self, prefixes: tuple, grace_sec: float = 0.0) -> list[str]:
         """Remove versioned stage directories (``<stage>__<snap>``) no
         longer referenced by the CURRENT manifest — called only after a
         successful commit, so readers of the new snapshot never lose
         data; long-pinned readers of old snapshots are out of scope in
-        the sandbox (Iceberg snapshot-expiry semantics)."""
+        the sandbox (Iceberg snapshot-expiry semantics).
+
+        ``grace_sec``: skip directories younger than this — an in-flight
+        CONCURRENT writer's staged-but-uncommitted data looks exactly
+        like an unreferenced version, so multi-writer deployments must
+        pass a grace window longer than their longest staging write
+        (Iceberg's orphan-file-removal retention). Single-writer flows
+        (tests, the sandbox) keep 0 for immediate cleanup."""
         import shutil
 
         current = {info["path"] for info in self.current_manifest()["stages"].values()}
         removed = []
+        now = time.time()
         for d in os.listdir(self.root):
             full = os.path.join(self.root, d)
             if (
@@ -208,6 +231,11 @@ class IndexCatalog:
                 and any(d.startswith(f"{p}__") for p in prefixes)
                 and full not in current
             ):
+                try:
+                    if grace_sec and now - os.path.getmtime(full) < grace_sec:
+                        continue
+                except OSError:  # pragma: no cover - racing remover
+                    continue
                 shutil.rmtree(full, ignore_errors=True)
                 removed.append(d)
         return removed

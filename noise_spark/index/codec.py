@@ -151,6 +151,10 @@ def vb_row(values) -> bytes:
     value typical case this beats a numpy round-trip per row. Fast path:
     when every value fits 7 bits (the common dense-delta case) the
     varbyte encoding IS the raw byte string."""
+    if not isinstance(values, (list, tuple)):
+        values = list(values)  # a generator must not be consumed by max()
+    if not values:
+        return b""
     if max(values) < 0x80:
         return bytes(values)
     out = bytearray()

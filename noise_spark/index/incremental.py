@@ -129,7 +129,9 @@ def _stage_df(spark, cat: IndexCatalog, stage: str, empty_schema: str) -> DataFr
     return spark.read.parquet(info["path"])
 
 
-def delete_docs(spark: SparkSession, index_dir: str, urls) -> dict:
+def delete_docs(
+    spark: SparkSession, index_dir: str, urls, gc_grace_sec: float = 0.0
+) -> dict:
     """Tombstone docs by url; commit exact negative stat deltas.
 
     ``urls``: a Python list for small ad-hoc deletes, or a
@@ -148,12 +150,15 @@ def delete_docs(spark: SparkSession, index_dir: str, urls) -> dict:
 
     from ..query.engine import IndexReader
 
-    reader = IndexReader(spark, index_dir)  # excludes prior tombstones
     cat = IndexCatalog(index_dir)
     # the commit CASes on this snapshot: a concurrent writer between
     # here and the publish raises CommitConflict instead of silently
-    # losing its tombstones/stat deltas in our read-modify-write merge
+    # losing its tombstones/stat deltas in our read-modify-write merge.
+    # Read BEFORE the reader pins its manifest — if the catalog moves
+    # in between, the CAS fails conservatively (retry), never passes
+    # with a merge derived from an older snapshot.
     base_snapshot = cat.current_manifest().get("snapshot_id")
+    reader = IndexReader(spark, index_dir)  # excludes prior tombstones
     if isinstance(urls, DataFrame):
         victims = reader.docs.join(
             urls.select("url").distinct(), "url", "left_semi"
@@ -215,16 +220,16 @@ def delete_docs(spark: SparkSession, index_dir: str, urls) -> dict:
     all_tombs.coalesce(1).write.mode("overwrite").parquet(paths["tombstones"])
     new_delta.coalesce(1).write.mode("overwrite").parquet(paths["term_stats_delta"])
     cd.coalesce(1).write.mode("overwrite").parquet(paths["corpus_stats_delta"])
-    n_tombs = spark.read.parquet(paths["tombstones"]).count()
-    # ONE atomic publish for all three, then GC superseded versions
+    # ONE atomic publish for all three, then GC superseded versions.
+    # The tombstone COUNT the compaction policy needs is the stage's
+    # lineage row count — recorded by the commit itself, no extra job.
+    # gc_grace_sec: multi-writer deployments set this longer than their
+    # slowest staging write so one writer's GC can never delete another
+    # writer's staged-but-uncommitted version dirs.
     cat.commit_stages(
-        {
-            s: (p, {"n_tombstones": n_tombs} if s == "tombstones" else {})
-            for s, p in paths.items()
-        },
-        expected_parent=base_snapshot,
+        {s: (p, {}) for s, p in paths.items()}, expected_parent=base_snapshot
     )
-    cat.gc_unreferenced(MUTABLE_STAGES)
+    cat.gc_unreferenced(MUTABLE_STAGES, grace_sec=gc_grace_sec)
     return {"deleted": n_removed}
 
 
@@ -257,9 +262,14 @@ def compact(
     reader = IndexReader(spark, index_dir)
     cfg = config
     if cfg is None:
-        # infer the original shape: same indexed fields, carry every
-        # other doc-store column through as a non-indexed extra
-        cfg = BuildConfig(fields=tuple(reader.fields))
+        # infer the original shape: same indexed fields, SAME analyzer
+        # (rebuilding with a different analyzer would re-tokenize the
+        # corpus and change every query result), same positions choice
+        cfg = BuildConfig(
+            fields=tuple(reader.fields),
+            analyzer=reader.analyzer,
+            store_positions=reader.has_positions,
+        )
     known = {"doc_id", "url", "html"} | set(cfg.fields) | {"warc_ts", "lang", "text"}
     extras = tuple(c for c in reader.docs.columns if c not in known)
     cfg = dataclasses.replace(
@@ -286,8 +296,8 @@ def compaction_due(
     ``max_generations`` (every query unions one DataFrame per
     generation) or tombstones exceed ``max_tombstone_frac`` of built
     docs (dead postings pay shuffle/scan cost on every query). The
-    counters come from stage commit metrics (`n_docs` on corpus_stats,
-    `n_tombstones` on tombstones)."""
+    counters come from committed stage metadata: `n_docs` commit metrics
+    on corpus_stats, lineage row counts on the tombstones stage."""
     manifest = IndexCatalog(index_dir).current_manifest()
     gens = _generations(manifest)
     built = 0
@@ -297,7 +307,7 @@ def compaction_due(
         if info:
             built += int(info.get("metrics", {}).get("n_docs", 0) or 0)
     t_info = manifest["stages"].get("tombstones")
-    n_tombs = int(t_info.get("metrics", {}).get("n_tombstones", 0) or 0) if t_info else 0
+    n_tombs = int(t_info.get("rows", 0) or 0) if t_info else 0
     frac = n_tombs / built if built else 0.0
     return {
         "due": len(gens) >= max_generations or frac >= max_tombstone_frac,

@@ -529,7 +529,17 @@ class IndexReader:
             if t in dfs
         ]
         if not weights:
-            return self.spark.createDataFrame([], "doc_id long, score double")
+            # every scoring term is absent from the corpus (df=0): no
+            # BM25 mass anywhere, but a doc can still match through a
+            # non-term arm ('missing || !b', a field-predicate arm) —
+            # those belong in the result at score 0.0, exactly like the
+            # score-0 docs the left-join path below produces
+            return (
+                self._match_set(node)
+                .withColumn("score", F.lit(0.0).cast("double"))
+                .orderBy(F.asc("doc_id"))
+                .limit(k)
+            )
         # pandas-backed → one Arrow partition (a plain-list createDataFrame
         # would parallelize to 32 Python partitions and cost ~1 s per query)
         wdf = F.broadcast(

@@ -254,9 +254,17 @@ class _Parser:
         mirrors the reference grammar (src/parser.rs:672-714): an
         optional leading ``!``, a braced boolean, then ``&&``/``||``
         recursing on the WHOLE right side (right-associative, equal
-        precedence)."""
+        precedence). A non-braced operand falls through to the parens
+        production (src/parser.rs:716-729): ``( <object chain> )``,
+        boostable, and — exactly like the reference — WITHOUT a trailing
+        connective of its own (``find ({a} || {b})`` parses;
+        ``find ({a}) && {b}`` is trailing-input, as in the reference)."""
         if self.accept("!"):
             return _Negated(self.object())
+        if self.accept("("):
+            node = self.object()
+            self.expect(")")
+            return self._boost(node)
         self.expect("{")
         if self.accept("}"):
             left: P.Node = P.AllDocs()

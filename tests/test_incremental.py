@@ -224,14 +224,20 @@ def test_compact_preserves_ids_and_extra_cols(spark, tmp_path):
     idx = str(tmp_path / "idx")
     build_index(
         spark, df, idx,
-        BuildConfig(block_size=8, doc_id_col="doc_id", extra_doc_cols=("extra",)),
+        BuildConfig(
+            block_size=8, doc_id_col="doc_id", extra_doc_cols=("extra",),
+            analyzer="whitespace",
+        ),
     )
     delete_docs(spark, idx, [f"https://x.test/{i}" for i in (0, 7)])
     out = str(tmp_path / "compacted")
     compact(spark, idx, out)  # no config: shape inferred from the index
     reader = IndexReader(spark, out)
+    assert reader.analyzer == "whitespace"  # inferred, not the default
     got = {r["doc_id"]: r["extra"] for r in reader.docs.collect()}
     assert got == {i: i * 1.5 for i in range(20) if i not in (0, 7)}
+    # whitespace terms survived (a porter rebuild would have stemmed)
+    assert reader.search(P.Or((P.Term("alpha"),)), k=25).count() == 18
 
 
 def test_compaction_policy(spark, inc_index, tmp_path):

@@ -245,6 +245,33 @@ def test_run_return_score_and_array(qreader):
     assert float(rows[0]["result"][1]) > 0
 
 
+def test_parse_top_level_parens():
+    # the reference's parens production (src/parser.rs:716-729):
+    # object falls through to ( <object chain> ), optionally negated
+    spec = parse_query('find ({a: == 1} || {b: == 2})', analyzer="whitespace")
+    assert spec.node == P.Or((P.FieldEq("a", 1), P.FieldEq("b", 2)))
+    spec = parse_query(
+        'find {text: ~= "w"} && !({a: == 1} || {b: == 2})', analyzer="whitespace"
+    )
+    assert isinstance(spec.node, P.Not)
+    # and exactly like the reference, a parenthesized group does NOT
+    # take a trailing connective of its own
+    with pytest.raises(ParseError, match="trailing"):
+        parse_query('find ({a: == 1}) && {b: == 2}', analyzer="whitespace")
+
+
+def test_run_missing_term_or_negated_arm(qreader):
+    # every scoring term absent from the corpus (df=0): docs matching
+    # through the negated arm still return, at score 0.0
+    rows = run_query(
+        qreader,
+        'find {text: ~= "zzzqqq"} || !{text: ~= "broadcast"}'
+        " order score() desc return {id: ._id, s: score()}",
+    ).collect()
+    assert [r["id"] for r in rows] == [0, 2, 3, 4]  # all docs w/o 'broadcast'
+    assert all(r["s"] == 0.0 for r in rows)
+
+
 def test_parse_bind_variable():
     spec = parse_query('find {tags: x::[== "red"]} return x', analyzer="whitespace")
     assert spec.node == P.Bind("x", "tags", P.cmp(None, "==", "red"))
