@@ -22,9 +22,23 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def assign_doc_ids(pages: DataFrame, partitions: int | None = None) -> DataFrame:
-    """Return ``pages`` with an added dense ``doc_id`` column (rank of url)."""
-    spark = pages.sparkSession
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "pos",
+    partitions: int | None = None,
+    start: int = 0,
+) -> DataFrame:
+    """Distributed ``row_number() OVER (ORDER BY order_cols)``.
+
+    Never a single-partition Window: range-partition by the order
+    columns, sort within partitions, count rows per partition, driver
+    prefix-sum (P integers only), number each partition with its offset
+    in a ``mapInPandas``. ``order_cols`` must name real columns
+    (materialize expressions with ``withColumn`` first) and the
+    combination must be a total order for deterministic output.
+    """
+    spark = df.sparkSession
     if partitions is None:
         partitions = spark.sparkContext.defaultParallelism * 2
 
@@ -33,9 +47,11 @@ def assign_doc_ids(pages: DataFrame, partitions: int | None = None) -> DataFrame
     # partitioning. Without it each action re-executes the range shuffle
     # with independently sampled boundaries (RangePartitioner seeds by
     # RDD id), so the driver-side offsets no longer match the partitions
-    # being numbered — duplicate/shifted docIDs (observed: top-k docIDs
+    # being numbered — duplicate/shifted ranks (observed: top-k docIDs
     # diverged across parallelism levels when this was removed).
-    ordered = pages.repartitionByRange(partitions, "url").sortWithinPartitions("url")
+    ordered = df.repartitionByRange(partitions, *order_cols).sortWithinPartitions(
+        *order_cols
+    )
     ordered.persist(StorageLevel.MEMORY_AND_DISK)
 
     counts = (
@@ -45,20 +61,22 @@ def assign_doc_ids(pages: DataFrame, partitions: int | None = None) -> DataFrame
         .collect()
     )
     offsets = {}
-    acc = 0
+    acc = start
     for row in sorted(counts, key=lambda r: r["pid"]):
         offsets[row["pid"]] = acc
         acc += row["count"]
     b_offsets = spark.sparkContext.broadcast(offsets)
 
-    out_schema = T.StructType(ordered.schema.fields + [T.StructField("doc_id", T.LongType(), False)])
+    out_schema = T.StructType(
+        ordered.schema.fields + [T.StructField(out_col, T.LongType(), False)]
+    )
 
     def number(iterator):
         pid = TaskContext.get().partitionId()
-        n = b_offsets.value.get(pid, 0)
+        n = b_offsets.value.get(pid, start)
         for pdf in iterator:
             pdf = pdf.copy()
-            pdf["doc_id"] = np.arange(n, n + len(pdf), dtype=np.int64)
+            pdf[out_col] = np.arange(n, n + len(pdf), dtype=np.int64)
             n += len(pdf)
             yield pdf
 
@@ -66,3 +84,8 @@ def assign_doc_ids(pages: DataFrame, partitions: int | None = None) -> DataFrame
     # let the caller release the numbering cache once consumed
     out._noise_persisted = ordered  # type: ignore[attr-defined]
     return out
+
+
+def assign_doc_ids(pages: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Return ``pages`` with an added dense ``doc_id`` column (rank of url)."""
+    return global_row_number(pages, ["url"], out_col="doc_id", partitions=partitions)

@@ -338,7 +338,7 @@ class IndexReader:
             keys = [self._key(t, node.field) for t in node.terms]
             return self._positional_match(keys, phrase=False, window=node.window)
         if isinstance(node, P.ExactMatch):
-            return self.docs.filter(F.col("text") == node.literal).select("doc_id")
+            return self._exact_match(node)
         if isinstance(node, P.FieldEq):
             cond = (
                 F.col(node.field).isNull()
@@ -379,6 +379,46 @@ class IndexReader:
         if isinstance(node, P.AllDocs):
             return self.docs.select("doc_id")
         raise TypeError(type(node))
+
+    def _exact_match(self, node: P.ExactMatch) -> DataFrame:
+        """Index-prefiltered exact string equality.
+
+        The reference never scans the doc store for ``==``: it runs a
+        stemmed-phrase index probe and only then verifies the stored
+        value (src/filters.rs:283-344). Same shape here: analyze the
+        literal with the index's analyzer, candidate-match its token
+        sequence over the bucket-pruned segments (phrase when positions
+        are stored, AND-intersection otherwise — both have perfect
+        recall, since a doc whose text equals the literal necessarily
+        contains the literal's exact token sequence), then verify
+        ``text == literal`` on the candidate semi-join against the doc
+        store. Only an unanalyzable literal (no tokens, e.g. pure
+        punctuation) falls back to the full doc-store filter.
+        """
+        from ..analysis.tokenizer import analyze
+
+        toks = [t for _, t in analyze(node.literal, self.analyzer)]
+        if not toks:
+            return self.docs.filter(F.col("text") == node.literal).select("doc_id")
+        keys = [self._key(t) for t in toks]
+        if len(keys) == 1:
+            cand = self.postings_for(keys).select("doc_id")
+        elif self.has_positions:
+            cand = self._positional_match(keys, phrase=True)
+        else:
+            uniq = sorted(set(keys))
+            cand = (
+                self.postings_for(uniq)
+                .groupBy("doc_id")
+                .agg(F.count("*").alias("n"))
+                .filter(F.col("n") == len(uniq))
+                .select("doc_id")
+            )
+        return (
+            self.docs.join(cand, "doc_id", "left_semi")
+            .filter(F.col("text") == node.literal)
+            .select("doc_id")
+        )
 
     def _positional_postings(self, terms: list[str]) -> DataFrame:
         """(term, doc_id, positions varbyte) — bucket-pruned segment
