@@ -293,17 +293,37 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram (token shingle) Jaccard similarity for all pairs
     sharing at least one shingle: |A∩B| from a shingle self-join,
     |A∪B| = |A|+|B|-|A∩B|. The shared-shingle join IS the blocking —
-    no cross join ever materializes."""
+    no cross join ever materializes.
+
+    ``max_shingle_df`` is the Zipf-head guard for corpus scale: a
+    shingle shared by k docs fans the self-join out to k² rows, so one
+    universal boilerplate shingle ("all rights reserved …") at k=10⁸
+    is a 10¹⁶-row join. When set, shingles with document frequency
+    above the cap are dropped from BOTH the intersection and the doc
+    sizes — Jaccard is then exact over the retained (discriminative)
+    shingle universe, the standard stop-shingle approximation (near-dup
+    pairs of long docs lose ≤df-capped mass). ``None`` (default) keeps
+    the fully exact semantics; production dedup at web scale should set
+    it (a few hundred is typical)."""
     toks = _tokens(text_col)
     shingles = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
     )
     sh = df.select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias("sh"))
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("sdf"))
+            .filter(F.col("sdf") <= max_shingle_df)
+            .select("sh")
+        )
+        sh = sh.join(keep, "sh", "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

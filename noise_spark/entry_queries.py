@@ -853,12 +853,29 @@ FROM topk t JOIN documents d USING (doc_id) ORDER BY t.score DESC, t.doc_id
 """,
 )
 def ft_return_fields(spark, sf_dir):
-    # the return clause (§2.7): top-k joined back to the document store
+    # the return clause (§2.7) exercised through the query LANGUAGE with
+    # NESTED keypaths (src/returnable.rs:17-72): `.meta.url` walks a
+    # struct, `.tags[0]` indexes an array — both virtual fields, so the
+    # lowering (getField / get) runs over real nested Spark types. The
+    # oracle derives the same values straight from the documents table.
     r = doc_index(spark, sf_dir)
-    topk = _topk_df(r.search(P.Or((P.Term("dup"),)), k=10))
-    return topk.join(r.docs.select("doc_id", "url", "lang"), "doc_id").select(
-        "doc_id", "score", "url", "lang"
+    from .query.parser import run_query
+
+    r.virtual_fields["meta"] = lambda d: F.struct(
+        d["url"].alias("url"), d["lang"].alias("lang")
     )
+    r.virtual_fields["tags"] = lambda d: F.array(d["lang"], F.lit("web"))
+    try:
+        out = run_query(
+            r,
+            'find {text: ~= "dup"} order score() desc '
+            "return {doc_id: ._id, score: score(), url: .meta.url, "
+            "lang: .tags[0]} limit 10",
+        )
+    finally:
+        r.virtual_fields.pop("meta", None)
+        r.virtual_fields.pop("tags", None)
+    return out.withColumn("score", F.round("score", 6))
 
 
 @q(

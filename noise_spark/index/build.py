@@ -128,8 +128,10 @@ class BuildConfig:
     # the scoped ``field␟term`` (the reference's keypath-scoped keys,
     # src/json_shred.rs:485-576); queries scope via ``P.Term(t, field=f)``
     # and BM25 uses per-field dl/avg_dl. fields[0] is the query-time
-    # default field.
-    fields: tuple = ("text",)
+    # default field. The string "auto" derives the field list from the
+    # input schema (every string / array<string> column except
+    # url/html/doc_id) at build_index time.
+    fields: tuple | str = ("text",)
     block_size: int = 128
     postings_per_salt: int = 50_000  # hot-term split threshold (df per salt)
     doc_codec: str = "varbyte"  # docID block codec: "varbyte" (delta+LEB128) | "for" (bit-packed frame-of-reference)
@@ -331,6 +333,33 @@ def build_index(
     (stages ``gen1/docs`` etc., docIDs above the watermark). Returns
     build metrics."""
     cfg = config or BuildConfig()
+    if cfg.fields == "auto":
+        # schemaless-ingest 80% move (SURVEY §1.5 divergence note): the
+        # reference discovers keypaths per document at shred time
+        # (src/json_shred.rs:485-576); in typed-column land the schema IS
+        # the keypath set — index every string / array<string> column
+        # except identity/metadata surfaces, `text` first (default field)
+        import dataclasses as _dc
+
+        skip = {"url", "html", cfg.doc_id_col or ""}
+        auto = [
+            f.name
+            for f in pages.schema.fields
+            if f.name not in skip
+            and (
+                isinstance(f.dataType, T.StringType)
+                or (
+                    isinstance(f.dataType, T.ArrayType)
+                    and isinstance(f.dataType.elementType, T.StringType)
+                )
+            )
+        ]
+        if "html" in pages.columns and "text" not in auto:
+            auto.append("text")  # derived by the extraction stage
+        if not auto:
+            raise ValueError("fields='auto' found no string/array<string> columns")
+        auto.sort(key=lambda n: (n != "text", n))
+        cfg = _dc.replace(cfg, fields=tuple(auto))
     cat = IndexCatalog(index_dir)
     metrics: dict = {"stages": {}}
 
@@ -415,7 +444,21 @@ def build_index(
         persisted = getattr(numbered, "_noise_persisted", None)
         if persisted is not None:
             persisted.unpersist()
-        commit("docs", {"seconds": time.time() - t0, "doc_id_offset": doc_id_offset})
+        docs_metrics = {"seconds": time.time() - t0, "doc_id_offset": doc_id_offset}
+        if cfg.doc_id_col:
+            # caller-provided ids (compaction preserves, users choose):
+            # one max-agg over the written parquet (footer stats only —
+            # column-pruned to doc_id) pins the watermark in the manifest
+            row = (
+                spark.read.parquet(cat.stage_path(sp("docs")))
+                .agg(F.max("doc_id"))
+                .collect()[0]
+            )
+            docs_metrics["max_doc_id"] = int(row[0]) if row[0] is not None else -1
+        # dense numbering: the max is arithmetic on committed lineage —
+        # commit_stages records the row count, so high_doc_id() derives
+        # offset + rows - 1 with zero jobs (see incremental.high_doc_id)
+        commit("docs", docs_metrics)
 
     docs = spark.read.parquet(cat.stage_path(sp("docs")))
 

@@ -49,16 +49,32 @@ def _generations(manifest: dict) -> list[str]:
 
 
 def high_doc_id(spark: SparkSession, index_dir: str) -> int:
+    """High-water docID from MANIFEST METADATA ONLY (the ``HDB``
+    high-seq header, src/index.rs:91-94): dense-numbered generations
+    derive ``doc_id_offset + rows - 1`` from commit metrics + lineage;
+    caller-provided-id builds committed an explicit ``max_doc_id``
+    metric. Zero Spark jobs — at 100 TB the watermark must be a
+    constant-time driver read, not a per-generation max() scan. Only a
+    legacy manifest (committed before these metrics existed) falls back
+    to scanning that generation's docs parquet."""
     cat = IndexCatalog(index_dir)
     manifest = cat.current_manifest()
     hi = -1
     for g in [""] + _generations(manifest):
         stage = f"{g}/docs" if g else "docs"
-        if stage in manifest["stages"]:
+        info = manifest["stages"].get(stage)
+        if not info:
+            continue
+        metrics = info.get("metrics", {}) or {}
+        rows = int(info.get("rows", 0) or 0)
+        if "max_doc_id" in metrics:
+            hi = max(hi, int(metrics["max_doc_id"]))
+        elif "doc_id_offset" in metrics:
+            if rows:
+                hi = max(hi, int(metrics["doc_id_offset"]) + rows - 1)
+        else:  # legacy manifest: metrics predate the watermark contract
             row = (
-                spark.read.parquet(manifest["stages"][stage]["path"])
-                .agg(F.max("doc_id"))
-                .collect()[0]
+                spark.read.parquet(info["path"]).agg(F.max("doc_id")).collect()[0]
             )
             if row[0] is not None:
                 hi = max(hi, row[0])

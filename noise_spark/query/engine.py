@@ -546,20 +546,21 @@ class IndexReader:
         walk(node, 1.0)
         return boosts
 
-    def search(self, node: P.Node, k: int = 10) -> DataFrame:
-        """Top-k → DataFrame(doc_id, score) ordered by (score desc, doc_id).
+    def scored_matches(self, node: P.Node) -> DataFrame:
+        """The FULL scored match set — DataFrame(doc_id, score),
+        unordered and unlimited. :meth:`search` puts a descending top-k
+        on it; an ascending-score consumer (the reference's default
+        ``order score()`` is ASC, src/parser.rs:1124-1130) should sort
+        THIS directly — ``orderBy(score).limit(n)`` on the unordered set
+        plans a single small TakeOrdered instead of a full descending
+        sort barrier followed by a re-sort.
 
         Pure filter plans (exact match, field predicates, all-docs) score
         binary 1.0 like the reference (src/filters.rs:363-368, 487-492);
         any plan containing scoring terms ranks by BM25 with the filters
         shaping the candidate set."""
         if isinstance(node, (P.ExactMatch, P.FieldEq, P.FieldRange, P.AllDocs, P.Bind, P.BboxOverlap)) or not self._term_boosts(node):
-            return (
-                self._match_set(node)
-                .withColumn("score", F.lit(1.0))
-                .orderBy(F.asc("doc_id"))
-                .limit(k)
-            )
+            return self._match_set(node).withColumn("score", F.lit(1.0))
         boosts = self._term_boosts(node)
         terms = sorted(boosts)
         dfs = self.term_dfs(terms)
@@ -574,11 +575,8 @@ class IndexReader:
             # non-term arm ('missing || !b', a field-predicate arm) —
             # those belong in the result at score 0.0, exactly like the
             # score-0 docs the left-join path below produces
-            return (
-                self._match_set(node)
-                .withColumn("score", F.lit(0.0).cast("double"))
-                .orderBy(F.asc("doc_id"))
-                .limit(k)
+            return self._match_set(node).withColumn(
+                "score", F.lit(0.0).cast("double")
             )
         # pandas-backed → one Arrow partition (a plain-list createDataFrame
         # would parallelize to 32 Python partitions and cost ~1 s per query)
@@ -627,7 +625,18 @@ class IndexReader:
                 .join(scored, "doc_id", "left")
                 .na.fill({"score": 0.0})
             )
-        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        return scored
+
+    def search(self, node: P.Node, k: int = 10) -> DataFrame:
+        """Top-k → DataFrame(doc_id, score) ordered by (score desc,
+        doc_id) — TakeOrderedAndProject over :meth:`scored_matches`
+        (per-partition top-k + driver merge; the reference's incremental
+        sort/merge buffer, src/query.rs:511-553)."""
+        return (
+            self.scored_matches(node)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
 
     def search_many(self, queries: dict[str, P.Node], k: int = 10) -> DataFrame:
         """A whole query set as ONE Spark action: every query's
@@ -636,6 +645,14 @@ class IndexReader:
         driver round-trips drop from Q to 1 (the reference query set is
         the unit of evaluation, src/repl.rs golden runs). Returns
         DataFrame(query_id, doc_id, score) with each query's top-k."""
+        # warm the df cache for the UNION of all queries' scoring terms
+        # in ONE stats job — otherwise each search() issues its own
+        # term_dfs collect first and "one action" is only true for the
+        # result side, not the stats side
+        all_terms = sorted(
+            {t for node in queries.values() for t in self._term_boosts(node)}
+        )
+        self.term_dfs(all_terms)
         parts = []
         for qid, node in queries.items():
             parts.append(

@@ -21,9 +21,12 @@ as DataFrame operations. Covered grammar:
   field (src/filters.rs:503-586; Z-order bucketing is the scale path,
   see :mod:`noise_spark.datapipe.geo`)
 - ``params {...}`` + ``@name``    parameters (src/parser.rs:172-215)
-- ``order .f [asc|desc], score() [desc]`` multi-key sort
-- ``return ._id | .f | score() | {k: .f default=<json>, ...} | [.f, .g]
-  | <json literal>``              projection / construction
+- ``order .f [asc|desc] [default=<json>], score() [desc]`` multi-key
+  sort; keypaths may be nested (``.a.b[0]``)
+- ``return ._id | .a.b[0].c | .a[].b | .["quoted key"] | score()
+  | {k: .f default=<json>, ...} | [.f, .g] | <json literal>``
+  keypath projection (nested paths lower to getField/getItem/transform,
+  src/returnable.rs:17-72) / construction
 - ``limit n``
 
 Legality checks mirror the reference (src/query.rs:220-228,
@@ -88,7 +91,28 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
 
 @dataclass
 class RetPath:
-    path: str  # field name, or "_id"
+    """A document keypath: root column + trailing segments — the
+    reference's ``ReturnPath`` (src/returnable.rs:17-72): ``.a.b[0].c``,
+    ``.a[].b`` (array-all projects the rest per element),
+    ``.["quoted key"]``. Lowered to ``getField``/``getItem``/
+    ``transform`` over the typed doc columns."""
+
+    path: str  # root field name, or "_id"
+    default: object = None
+    has_default: bool = False
+    rest: tuple = ()  # (("f", name) | ("i", idx) | ("*",), ...)
+
+
+@dataclass
+class OrderKey:
+    """One ``order`` clause key (src/parser.rs:1082-1155): score() or a
+    keypath, asc/desc, optional ``default=<json>`` substituted for
+    missing values before comparison (src/parser.rs:1137-1143)."""
+
+    kind: str  # "score" | "field"
+    name: str
+    asc: bool = True
+    rest: tuple = ()
     default: object = None
     has_default: bool = False
 
@@ -130,7 +154,7 @@ class RetArray:
 @dataclass
 class QuerySpec:
     node: P.Node
-    orders: list = dc_field(default_factory=list)  # [("score"|"field", name, asc)]
+    orders: list = dc_field(default_factory=list)  # [OrderKey, ...]
     ret: object = None  # None = default ._id
     limit: int | None = None
     binds: dict = dc_field(default_factory=dict)  # name -> [P.Bind, ...]
@@ -439,6 +463,45 @@ class _Parser:
         return P.Phrase(terms, field=fld)
 
     # -- order / return --------------------------------------------------------
+    def _path_segments(self) -> tuple:
+        """Trailing keypath segments after the root: ``.field``,
+        ``[int]``, ``[]`` (array-all) — the reference's consume_keypath
+        loop (src/parser.rs:363-386)."""
+        segs = []
+        while True:
+            if self.peek()[1] == "." and self.toks[self.i + 1][0] == "word":
+                self.next()
+                segs.append(("f", self.next()[1]))
+            elif self.peek()[1] == "[":
+                nxt_kind, nxt = self.toks[self.i + 1]
+                if nxt == "]":
+                    self.next(); self.next()
+                    segs.append(("*",))
+                elif nxt_kind == "number":
+                    self.next()
+                    idx = json.loads(self.next()[1])
+                    if not isinstance(idx, int) or idx < 0:
+                        raise ParseError("Expected array index integer or *.")
+                    self.expect("]")
+                    segs.append(("i", idx))
+                else:
+                    return tuple(segs)  # a constructed array follows
+            else:
+                return tuple(segs)
+
+    def _path_root(self) -> str | None:
+        """Root of a keypath, assuming '.' was just consumed: a word, a
+        ``["quoted key"]``, or None (bare '.' = whole doc)."""
+        k2, v2 = self.peek()
+        if k2 == "word":
+            return self.next()[1]
+        if v2 == "[" and self.toks[self.i + 1][0] == "string":
+            self.next()
+            root = json.loads(self.next()[1])
+            self.expect("]")
+            return root
+        return None
+
     def order_keys(self) -> list:
         keys = []
         while True:
@@ -450,16 +513,25 @@ class _Parser:
                 asc = True
                 if self.peek()[1] in ("asc", "desc"):
                     asc = self.next()[1] == "asc"
-                keys.append(("score", "score", asc))
+                keys.append(OrderKey("score", "score", asc))
             elif v == ".":
                 self.next()
-                k2, name = self.next()
-                if k2 != "word":
+                name = self._path_root()
+                if name is None:
                     raise ParseError("expected a field name after '.'")
+                rest = self._path_segments()
+                # asc/desc may appear before OR after default= — the
+                # later one wins (src/parser.rs:1090-1106)
                 asc = True
                 if self.peek()[1] in ("asc", "desc"):
                     asc = self.next()[1] == "asc"
-                keys.append(("field", name, asc))
+                dv, has_dv = None, False
+                if self.accept("default"):
+                    self.expect("=")
+                    dv, has_dv = self.literal(), True
+                if self.peek()[1] in ("asc", "desc"):
+                    asc = self.next()[1] == "asc"
+                keys.append(OrderKey("field", name, asc, rest, dv, has_dv))
             else:
                 raise ParseError(f"expected an order key, got {v!r}")
             if not self.accept(","):
@@ -469,10 +541,9 @@ class _Parser:
         kind, v = self.peek()
         if v == ".":
             self.next()
-            k2, name = self.peek()
-            if k2 == "word":
-                self.next()
-                ret = RetPath(name)
+            name = self._path_root()
+            if name is not None:
+                ret = RetPath(name, rest=self._path_segments())
             else:
                 ret = RetPath("_id")  # bare `.` → whole doc → our doc id surface
             if self.accept("default"):
@@ -627,6 +698,31 @@ def parse_query(text: str, params: dict | None = None, analyzer: str = "porter")
 # -- execution ----------------------------------------------------------------
 
 
+def _apply_path(col, segs, F):
+    """Lower keypath segments over a typed column: object key →
+    ``getField``/``getItem``, array index → ``getItem``, array-all →
+    the rest of the path mapped per element with ``transform``
+    (src/returnable.rs:17-72 / snapshot.rs fetch walk)."""
+    for i, s in enumerate(segs):
+        if s[0] == "*":
+            rest = segs[i + 1 :]
+            if not rest:
+                return col
+            return F.transform(col, _path_elem_fn(rest, F))
+        if s[0] == "i":
+            # F.get, not getItem: an out-of-bounds index is NULL (the
+            # reference's missing-path semantics), never an ANSI error
+            col = F.get(col, F.lit(s[1]))
+        else:
+            col = col[s[1]]
+    return col
+
+
+def _path_elem_fn(rest, F):
+    # unary on purpose: pyspark HOF lambdas dispatch on arity
+    return lambda e: _apply_path(e, rest, F)
+
+
 def _ret_column(ret, F, available: set, binds: dict | None = None):
     binds = binds or {}
     if isinstance(ret, RetPath):
@@ -635,7 +731,7 @@ def _ret_column(ret, F, available: set, binds: dict | None = None):
             if isinstance(ret, RetPath) and ret.has_default:
                 return F.lit(ret.default)
             raise ParseError(f"unknown return field .{ret.path}")
-        col = F.col(name)
+        col = _apply_path(F.col(name), ret.rest, F)
         if ret.has_default:
             col = F.coalesce(col, F.lit(ret.default))
         return col
@@ -703,7 +799,7 @@ def run_query(reader, text: str, params: dict | None = None, default_k: int = 10
     from pyspark.sql import functions as F
 
     spec = parse_query(text, params, analyzer=getattr(reader, "analyzer", "porter"))
-    wants_score = any(k[0] == "score" for k in spec.orders) or _ret_uses_score(spec.ret)
+    wants_score = any(o.kind == "score" for o in spec.orders) or _ret_uses_score(spec.ret)
     limit = spec.limit or default_k
 
     if wants_score:
@@ -711,16 +807,18 @@ def run_query(reader, text: str, params: dict | None = None, default_k: int = 10
         # correct only when the primary order is score desc (or there is
         # no order clause, whose default below is score desc). The
         # reference defaults `order score()` to ASC (src/parser.rs:1124-
-        # 1130) — an ascending score order needs the FULL match set
-        # scored, then orderBy(score asc).limit(n) picks the lowest n.
-        scored = reader.query(
-            spec.node, k=limit if _score_primary_desc(spec) else 1_000_000
-        )
-        base = scored
+        # 1130) — any other order needs every match scored: take the
+        # UNORDERED scored match set so the order clause below plans ONE
+        # small TakeOrdered on it (a huge-k query() here would plan a
+        # full descending sort barrier first, then re-sort).
+        if _score_primary_desc(spec):
+            base = reader.query(spec.node, k=limit)
+        else:
+            base = reader.scored_matches(spec.node)
     else:
         base = reader._match_set(spec.node).withColumn("score", F.lit(1.0))
 
-    order_fields = {name for kind, name, _ in spec.orders if kind == "field"}
+    order_fields = {o.name for o in spec.orders if o.kind == "field"}
     ret_fields: set = set()
     _collect_ret_fields(spec.ret, ret_fields, spec.binds)
     need_fields = (order_fields | ret_fields) - {"doc_id"}  # always present
@@ -739,9 +837,16 @@ def run_query(reader, text: str, params: dict | None = None, default_k: int = 10
         base = base.join(docs.select("doc_id", *join_cols), "doc_id", "left")
 
     order_cols = []
-    for kind, name, asc in spec.orders:
-        col = F.col("score") if kind == "score" else F.col(name)
-        order_cols.append(col.asc() if asc else col.desc())
+    for o in spec.orders:
+        if o.kind == "score":
+            col = F.col("score")
+        else:
+            col = _apply_path(F.col(o.name), o.rest, F)
+            if o.has_default:
+                # missing values compare as the stand-in, not as nulls
+                # (src/parser.rs:1137-1143, repl-tests/collation.noise)
+                col = F.coalesce(col, F.lit(o.default))
+        order_cols.append(col.asc() if o.asc else col.desc())
     if not order_cols:
         order_cols = [F.desc("score"), F.asc("doc_id")] if wants_score else [F.asc("doc_id")]
     else:
@@ -771,8 +876,8 @@ def run_query(reader, text: str, params: dict | None = None, default_k: int = 10
 def _score_primary_desc(spec: QuerySpec) -> bool:
     if not spec.orders:
         return True  # default ordering below is (score desc, doc_id)
-    kind, _, asc = spec.orders[0]
-    return kind == "score" and not asc
+    o = spec.orders[0]
+    return o.kind == "score" and not o.asc
 
 
 def _ret_uses_score(ret) -> bool:

@@ -203,6 +203,29 @@ def test_ngram_jaccard_pairs(spark):
     assert [(p["id_a"], p["id_b"], p["jaccard"]) for p in pairs] == [(1, 2, 1.0)]
 
 
+def test_ngram_jaccard_stop_shingle_guard(spark):
+    """A universal boilerplate shingle must not fan the self-join out to
+    k² candidate pairs: with max_shingle_df set, the Zipf-head shingle
+    is dropped from intersection AND sizes, so otherwise-unrelated docs
+    produce ZERO candidate pairs (threshold=0 surfaces every candidate,
+    making the fan-out directly observable)."""
+    import pandas as pd
+
+    rows = [(i, f"all rights reserved u{i} v{i} w{i} x{i}") for i in range(40)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    unguarded = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.0).count()
+    assert unguarded == 40 * 39 // 2  # every pair, via the shared head shingle
+    guarded = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.0, max_shingle_df=5)
+    assert guarded.count() == 0
+    # near-dup pairs still found through their rare shingles
+    rows.append((100, "all rights reserved u1 v1 w1 x1 extra"))
+    df2 = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = dedup.ngram_jaccard_pairs(
+        df2, n=3, threshold=0.5, max_shingle_df=5
+    ).collect()
+    assert [(p["id_a"], p["id_b"]) for p in got] == [(1, 100)]
+
+
 def test_quality_and_langid_and_fingerprint(spark):
     df = spark.createDataFrame(
         [

@@ -265,3 +265,33 @@ def test_compaction_policy(spark, inc_index, tmp_path):
     assert reader._tombstones is None and len(reader._gens) == 1
     assert reader.n_docs == IndexReader(spark, inc_index).n_docs
     _assert_identical(reader, _oracle_for(spark, reader))
+
+
+def test_high_doc_id_is_manifest_only(spark, tmp_path):
+    """The watermark must resolve from commit metrics + lineage with
+    ZERO Spark jobs (constant-time driver read at 100 TB) — proven by
+    passing spark=None: any scan fallback would crash. Covers dense
+    numbering (offset+rows-1), appended generations, and a compacted
+    index with caller-provided preserved ids (max_doc_id metric)."""
+    from noise_spark.index.incremental import high_doc_id
+
+    idx = str(tmp_path / "idx")
+    pages = generate_pages(spark, 120, seed=7, partitions=4)
+    build_index(spark, pages, idx, BuildConfig(block_size=64))
+    assert high_doc_id(None, idx) == 119
+
+    from pyspark.sql import functions as F
+
+    more = (
+        generate_pages(spark, 280, seed=8, partitions=4)
+        .withColumn("url", F.concat_ws("-", F.lit("g2"), F.col("url")))
+        .limit(30)
+    )
+    append_docs(spark, idx, more, BuildConfig(block_size=64))
+    assert high_doc_id(None, idx) == 149
+
+    # compaction preserves ids (gaps possible) → explicit max_doc_id
+    out = str(tmp_path / "compacted")
+    delete_docs(spark, idx, pages.limit(5).select("url"))
+    compact(spark, idx, out)
+    assert high_doc_id(None, out) == 149

@@ -162,3 +162,42 @@ def test_array_field_proximity_stays_within_element(arr_reader):
     # realistic window
     got = arr_reader._match_set(P.Proximity(("tools", "engine"), window=50, field="tags")).collect()
     assert got == []
+
+
+def test_fields_auto_derives_from_schema(spark, tmp_path):
+    """fields='auto' indexes every string / array<string> column except
+    identity surfaces (url, doc_id, html), with text as the default
+    field — the typed-column stand-in for the reference's shred-time
+    keypath discovery (src/json_shred.rs:485-576)."""
+    import pandas as pd
+
+    from noise_spark.query import IndexReader
+    from noise_spark.query import plan as P
+
+    rows = [
+        (0, "u0", "spark shuffles data", "en", ["fast", "query"], 11),
+        (1, "u1", "duckdb scans parquet", "de", ["fast", "scan"], 22),
+        (2, "u2", "postings compress well", "en", ["codec"], 33),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            rows, columns=["doc_id", "url", "text", "lang", "tags", "n_chars"]
+        )
+    )
+    idx = str(tmp_path / "auto")
+    build_index(
+        spark,
+        df,
+        idx,
+        BuildConfig(analyzer="whitespace", doc_id_col="doc_id", fields="auto"),
+    )
+    r = IndexReader(spark, idx)
+    assert tuple(r.fields) == ("text", "lang", "tags")
+    assert r.default_field == "text"
+    got = sorted(
+        x["doc_id"] for x in r._match_set(P.Term("fast", field="tags")).collect()
+    )
+    assert got == [0, 1]
+    assert [
+        x["doc_id"] for x in r._match_set(P.Term("de", field="lang")).collect()
+    ] == [1]

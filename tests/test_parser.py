@@ -129,7 +129,12 @@ def test_parse_all_docs_and_clauses():
         "find {} order .lang desc, score() limit 7", analyzer="whitespace"
     )
     assert spec.node == P.AllDocs()
-    assert spec.orders == [("field", "lang", False), ("score", "score", True)]
+    from noise_spark.query.parser import OrderKey
+
+    assert spec.orders == [
+        OrderKey("field", "lang", False),
+        OrderKey("score", "score", True),
+    ]
     assert spec.limit == 7
 
 
@@ -385,3 +390,108 @@ def test_run_exact_match_binary_score(qreader):
         qreader, f'find {{text: == "{DOCS[2][1]}"}} return {{i: ._id, s: score()}}'
     ).collect()
     assert [(r["i"], r["s"]) for r in rows] == [(2, 1.0)]
+
+
+def test_parse_nested_return_paths():
+    from noise_spark.query.parser import OrderKey, RetObject, RetPath, parse_query
+
+    spec = parse_query(
+        'find {} order .meta.rank desc default=30 '
+        'return {a: .meta.author, b: .tags[0], c: .links[].host, '
+        'd: .["quoted key"].x} limit 5',
+        analyzer="whitespace",
+    )
+    assert spec.orders == [
+        OrderKey("field", "meta", False, (("f", "rank"),), 30, True)
+    ]
+    assert isinstance(spec.ret, RetObject)
+    by_key = dict(spec.ret.items)
+    assert by_key["a"] == RetPath("meta", rest=(("f", "author"),))
+    assert by_key["b"] == RetPath("tags", rest=(("i", 0),))
+    assert by_key["c"] == RetPath("links", rest=(("*",), ("f", "host")))
+    assert by_key["d"] == RetPath("quoted key", rest=(("f", "x"),))
+
+
+def test_parse_order_default_before_desc():
+    # the reference lets asc/desc appear on either side of default=,
+    # the later one winning (src/parser.rs:1090-1106)
+    from noise_spark.query.parser import OrderKey, parse_query
+
+    spec = parse_query(
+        "find {} order .age asc default=30 desc limit 3", analyzer="whitespace"
+    )
+    assert spec.orders == [OrderKey("field", "age", False, (), 30, True)]
+
+
+@pytest.fixture(scope="module")
+def nested_reader(spark, tmp_path_factory):
+    """Docs with struct / array / array-of-struct columns riding along
+    in the doc store (extra_doc_cols) — the typed-column re-expression
+    of the reference's nested keypaths."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("author", T.StringType()),
+                        T.StructField("rank", T.LongType()),
+                    ]
+                ),
+            ),
+            T.StructField("tags", T.ArrayType(T.StringType())),
+            T.StructField(
+                "links",
+                T.ArrayType(
+                    T.StructType([T.StructField("host", T.StringType())])
+                ),
+            ),
+        ]
+    )
+    rows = [
+        (0, "alpha shuffle", {"author": "ada", "rank": 3}, ["x", "y"],
+         [{"host": "a.com"}, {"host": "b.org"}]),
+        (1, "beta shuffle", {"author": "bob", "rank": None}, ["z"],
+         [{"host": "c.net"}]),
+        (2, "gamma shuffle", {"author": "cyd", "rank": 1}, [], []),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=[f.name for f in schema]), schema)
+    idx = str(tmp_path_factory.mktemp("nested") / "idx")
+    build_index(
+        spark,
+        df,
+        idx,
+        BuildConfig(
+            analyzer="whitespace",
+            doc_id_col="doc_id",
+            block_size=4,
+            extra_doc_cols=("meta", "tags", "links"),
+        ),
+    )
+    return IndexReader(spark, idx)
+
+
+def test_nested_return_paths_execute(nested_reader):
+    out = run_query(
+        nested_reader,
+        'find {text: ~= "shuffle"} order .doc_id asc '
+        "return {a: .meta.author, t: .tags[0], hosts: .links[].host}",
+    ).collect()
+    assert [r["a"] for r in out] == ["ada", "bob", "cyd"]
+    assert [r["t"] for r in out] == ["x", "z", None]
+    assert [list(r["hosts"]) for r in out] == [["a.com", "b.org"], ["c.net"], []]
+
+
+def test_order_key_default_execute(nested_reader):
+    # missing rank (null) compares as the stand-in 2: ranks 3,·(→2),1
+    # → desc order is doc 0 (3), doc 1 (2), doc 2 (1)
+    out = run_query(
+        nested_reader,
+        'find {text: ~= "shuffle"} order .meta.rank desc default=2 return ._id',
+    ).collect()
+    assert [r["result"] for r in out] == [0, 1, 2]

@@ -87,3 +87,17 @@ def test_collation_order_rank_is_distributed(spark):
     assert "Window" not in plan
     # the range shuffle over the collation key is the distributed rank
     assert "rangepartitioning" in plan.lower()
+
+
+def test_ascending_score_order_is_single_takeordered(plan_reader):
+    """`order score()` (reference default = ASC) must plan ONE small
+    TakeOrderedAndProject over the unordered scored match set — not a
+    full descending sort barrier followed by a re-sort."""
+    from noise_spark.query.parser import run_query
+
+    df = run_query(plan_reader, 'find {text: ~= "w00001"} order score() limit 3')
+    plan = _plan(df)
+    physical = plan.split("== Physical Plan ==", 1)[-1]
+    assert physical.count("TakeOrderedAndProject") == 1
+    # no global all-rows Sort stage beyond the top-k operator
+    assert "Sort [" not in physical
