@@ -31,6 +31,8 @@ INDEX_FORMAT_VERSION = "v8"  # bump to invalidate cached on-disk indexes
 K1, B = 1.2, 0.75
 
 _READERS: dict[str, IndexReader] = {}
+# ft_collation_order's previous rank cache (released on next invocation)
+_COLLATION_PERSIST: list = []
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1568,7 +1570,15 @@ def ft_collation_order(spark, sf_dir):
     m = d.select("doc_id", val.alias("val")).withColumn(
         "_ck", collation_key(F.col("val"))
     )
+    # the rank's range-partitioned cache must stay pinned until the
+    # RESULT is consumed (offsets were computed against that exact
+    # partitioning), so it can't be unpersisted here — instead release
+    # the PREVIOUS invocation's cache, bounding repeated harness/bench
+    # runs to one pinned copy
+    while _COLLATION_PERSIST:
+        _COLLATION_PERSIST.pop().unpersist()
     ranked = global_row_number(m, ["_ck", "doc_id"], out_col="pos", start=1)
+    _COLLATION_PERSIST.append(ranked._noise_persisted)
     return ranked.select("doc_id", "val", "pos").orderBy("doc_id")
 
 

@@ -455,9 +455,15 @@ def build_index(
                 .collect()[0]
             )
             docs_metrics["max_doc_id"] = int(row[0]) if row[0] is not None else -1
-        # dense numbering: the max is arithmetic on committed lineage —
-        # commit_stages records the row count, so high_doc_id() derives
-        # offset + rows - 1 with zero jobs (see incremental.high_doc_id)
+        else:
+            # dense numbering: the max is arithmetic on committed lineage
+            # (commit_stages records the row count), so high_doc_id()
+            # derives offset + rows - 1 with zero jobs. dense_ids marks
+            # the arithmetic as VALID — doc_id_offset alone is not
+            # enough, because pre-r4 manifests committed it for
+            # caller-provided (gapped) ids too; those legacy manifests
+            # must take high_doc_id's scan fallback instead.
+            docs_metrics["dense_ids"] = True
         commit("docs", docs_metrics)
 
     docs = spark.read.parquet(cat.stage_path(sp("docs")))

@@ -69,7 +69,11 @@ def high_doc_id(spark: SparkSession, index_dir: str) -> int:
         rows = int(info.get("rows", 0) or 0)
         if "max_doc_id" in metrics:
             hi = max(hi, int(metrics["max_doc_id"]))
-        elif "doc_id_offset" in metrics:
+        elif metrics.get("dense_ids"):
+            # offset+rows-1 is valid ONLY for dense numbering; the
+            # explicit dense_ids marker distinguishes it from legacy
+            # manifests whose doc_id_offset was committed for gapped
+            # caller-provided ids too (pre-r4 compacted indexes)
             if rows:
                 hi = max(hi, int(metrics["doc_id_offset"]) + rows - 1)
         else:  # legacy manifest: metrics predate the watermark contract
@@ -104,6 +108,20 @@ def append_docs(
     A retry MUST carry the same batch of pages, which is the natural
     crash-retry contract (streaming ingest replays the same
     deterministic batch)."""
+    if config is not None and config.fields == "auto":
+        # an appended generation MUST share the base index's term
+        # key-space (scoped vs bare keys): re-deriving "auto" from the
+        # batch schema could silently disagree (a batch missing one
+        # string column would flip a multi-field index to bare keys and
+        # make its docs unfindable) — resolve against the committed
+        # field list instead
+        import dataclasses
+
+        from ..query.engine import IndexReader
+
+        config = dataclasses.replace(
+            config, fields=tuple(IndexReader(spark, index_dir).fields)
+        )
     cat = IndexCatalog(index_dir)
     manifest = cat.current_manifest()
     gens = _generations(manifest)

@@ -398,9 +398,19 @@ class IndexReader:
         from ..analysis.tokenizer import analyze
 
         toks = [t for _, t in analyze(node.literal, self.analyzer)]
-        if not toks:
+        # ExactMatch semantics are TEXT equality, so the probe must be
+        # scoped to the 'text' field — never the index default field
+        # (fields=('title','text') would otherwise probe title postings
+        # and prune true matches). Fallback to the doc-store scan when
+        # the index doesn't cover 'text' (then there is nothing to
+        # probe) or the literal analyzes to nothing (defensive: the
+        # analyzers emit a fallback token even for pure punctuation).
+        try:
+            keys = [self._key(t, "text") for t in toks] if toks else []
+        except ValueError:
+            keys = []
+        if not keys:
             return self.docs.filter(F.col("text") == node.literal).select("doc_id")
-        keys = [self._key(t) for t in toks]
         if len(keys) == 1:
             cand = self.postings_for(keys).select("doc_id")
         elif self.has_positions:

@@ -484,6 +484,13 @@ class _Parser:
                         raise ParseError("Expected array index integer or *.")
                     self.expect("]")
                     segs.append(("i", idx))
+                elif nxt_kind == "string":
+                    # quoted object key mid-path: .a["k"] — legal at any
+                    # segment in the reference grammar (src/parser.rs:
+                    # 344-347 root, same bracket form mid-path)
+                    self.next()
+                    segs.append(("f", json.loads(self.next()[1])))
+                    self.expect("]")
                 else:
                     return tuple(segs)  # a constructed array follows
             else:
@@ -874,10 +881,15 @@ def run_query(reader, text: str, params: dict | None = None, default_k: int = 10
 
 
 def _score_primary_desc(spec: QuerySpec) -> bool:
+    """True iff the engine's (score desc, doc_id) top-k IS the query's
+    full ordering, so fetching only k rows is membership-correct. A
+    secondary key after score desc disqualifies it: on score ties the
+    secondary key decides WHICH docs belong in the top-k, so membership
+    needs the full scored set sorted by the complete key first."""
     if not spec.orders:
         return True  # default ordering below is (score desc, doc_id)
     o = spec.orders[0]
-    return o.kind == "score" and not o.asc
+    return len(spec.orders) == 1 and o.kind == "score" and not o.asc
 
 
 def _ret_uses_score(ret) -> bool:

@@ -295,3 +295,79 @@ def test_high_doc_id_is_manifest_only(spark, tmp_path):
     delete_docs(spark, idx, pages.limit(5).select("url"))
     compact(spark, idx, out)
     assert high_doc_id(None, out) == 149
+
+
+def test_high_doc_id_legacy_manifest_scans(spark, tmp_path):
+    """A pre-watermark-contract manifest (doc_id_offset committed for
+    caller-provided GAPPED ids, no max_doc_id / dense_ids markers) must
+    take the scan fallback — offset+rows-1 arithmetic would understate
+    the watermark and the next append would reuse live doc_ids."""
+    import json
+    import os
+
+    import pandas as pd
+
+    from noise_spark.index.catalog import IndexCatalog
+    from noise_spark.index.incremental import high_doc_id
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(5, "u5", "five words here"), (149, "u149", "other doc text")],
+            columns=["doc_id", "url", "text"],
+        )
+    )
+    idx = str(tmp_path / "legacy")
+    build_index(
+        spark, df, idx, BuildConfig(analyzer="whitespace", doc_id_col="doc_id")
+    )
+    # modern manifest: metadata-only (spark=None proves no scan)
+    assert high_doc_id(None, idx) == 149
+
+    # forge a legacy manifest: strip the r4 watermark metrics
+    cat = IndexCatalog(idx)
+    ptr = os.path.join(idx, cat.CURRENT)
+    with open(ptr) as f:
+        name = f.read().strip()
+    mpath = os.path.join(cat.manifest_dir, name)
+    with open(mpath) as f:
+        manifest = json.load(f)
+    for info in manifest["stages"].values():
+        info.get("metrics", {}).pop("max_doc_id", None)
+        info.get("metrics", {}).pop("dense_ids", None)
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
+    # arithmetic would give offset(0)+rows(2)-1 == 1; the scan must win
+    assert high_doc_id(spark, idx) == 149
+
+
+def test_append_auto_fields_uses_index_fields(spark, tmp_path):
+    """append_docs with fields='auto' must resolve against the BASE
+    index's committed field list, not the batch schema — a batch missing
+    one string column must not flip the term key-space to bare keys."""
+    import pandas as pd
+
+    from noise_spark.query import plan as P
+
+    base = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, "u0", "alpha beta", "en"), (1, "u1", "gamma delta", "de")],
+            columns=["doc_id", "url", "text", "lang"],
+        )
+    )
+    idx = str(tmp_path / "auto_inc")
+    build_index(
+        spark,
+        base,
+        idx,
+        BuildConfig(analyzer="whitespace", doc_id_col="doc_id", fields="auto"),
+    )
+    batch = spark.createDataFrame(
+        pd.DataFrame([("u2", "epsilon zeta")], columns=["url", "text"])
+    )
+    append_docs(
+        spark, idx, batch, BuildConfig(analyzer="whitespace", fields="auto")
+    )
+    r = IndexReader(spark, idx)
+    assert tuple(r.fields) == ("text", "lang")
+    got = [x["doc_id"] for x in r._match_set(P.Term("epsilon")).collect()]
+    assert got == [2]

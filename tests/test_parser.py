@@ -495,3 +495,30 @@ def test_order_key_default_execute(nested_reader):
         'find {text: ~= "shuffle"} order .meta.rank desc default=2 return ._id',
     ).collect()
     assert [r["result"] for r in out] == [0, 1, 2]
+
+
+def test_parse_quoted_key_mid_path():
+    from noise_spark.query.parser import RetPath, parse_query
+
+    spec = parse_query(
+        'find {} return {x: .a["weird key"].b} limit 1', analyzer="whitespace"
+    )
+    assert dict(spec.ret.items)["x"] == RetPath(
+        "a", rest=(("f", "weird key"), ("f", "b"))
+    )
+
+
+def test_score_tie_secondary_order_key_decides_membership(qreader):
+    """With `order score() desc, .doc_id desc limit 1` and two docs at
+    EQUAL BM25 score, the secondary key decides which doc is IN the
+    top-1 — the engine must sort the full scored set by the complete
+    key, not pre-truncate with its own (score desc, doc_id asc)
+    tie-break (r4 review finding)."""
+    # docs 0 and 1 both contain 'the' once with dl=6 → identical scores
+    got = ids(
+        run_query(
+            qreader,
+            'find {text: ~= "the"} order score() desc, .doc_id desc limit 1',
+        )
+    )
+    assert got == [1]

@@ -68,12 +68,47 @@ def test_exact_match_is_index_prefiltered(plan_reader):
     assert "LeftSemi" in plan
 
 
-def test_exact_match_unanalyzable_literal_falls_back(plan_reader):
-    """A literal the analyzer reduces to zero tokens (pure punctuation)
-    can't be index-prefiltered — it must still answer (empty here)."""
+def test_exact_match_punctuation_literal(plan_reader):
+    """A pure-punctuation literal still answers through the index probe
+    (the analyzers emit a non-alpha fallback token, so it analyzes to
+    >=1 token and prefilters like any other literal)."""
     from noise_spark.query import plan as P
 
     assert plan_reader._match_set(P.ExactMatch("!!! ???")).count() == 0
+
+
+def test_exact_match_without_text_field_falls_back(spark, tmp_path):
+    """An index that doesn't cover the 'text' field has nothing to
+    probe for ExactMatch (text equality) — it must fall back to the
+    doc-store scan, not probe the wrong field's postings (r4 review:
+    probing the default field gave false negatives)."""
+    import pandas as pd
+
+    from noise_spark.index.build import BuildConfig, build_index
+    from noise_spark.query import IndexReader
+    from noise_spark.query import plan as P
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, "hello world", "en"), (1, "other text", "de")],
+            columns=["doc_id", "text", "lang"],
+        )
+    )
+    idx = str(tmp_path / "langidx")
+    build_index(
+        spark,
+        df,
+        idx,
+        BuildConfig(
+            analyzer="whitespace",
+            doc_id_col="doc_id",
+            fields=("lang",),
+            extra_doc_cols=("text",),
+        ),
+    )
+    r = IndexReader(spark, idx)
+    got = [x["doc_id"] for x in r._match_set(P.ExactMatch("hello world")).collect()]
+    assert got == [0]
 
 
 def test_collation_order_rank_is_distributed(spark):
