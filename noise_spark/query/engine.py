@@ -121,10 +121,15 @@ class IndexReader:
         # DataFrame paths anti-join it; the WAND path cogroups a BINNED
         # view of it so each bin receives only its own tombstones.
         self._tombstones: DataFrame | None = None
+        self._n_tombstones = 0
         if "tombstones" in stages:
-            t = spark.read.parquet(stages["tombstones"]["path"])
-            if not t.isEmpty():
-                self._tombstones = t
+            # row count from the committed manifest lineage — constant
+            # time, no job; drives the broadcast decision below
+            self._n_tombstones = int(stages["tombstones"].get("rows", 0) or 0)
+            if self._n_tombstones:
+                self._tombstones = spark.read.parquet(
+                    stages["tombstones"]["path"]
+                )
         self._term_stats_delta = (
             stages["term_stats_delta"]["path"] if "term_stats_delta" in stages else None
         )
@@ -187,10 +192,24 @@ class IndexReader:
             df = df.unionByName(self.spark.read.parquet(p))
         return df
 
+    # below this many tombstones the anti-join side is explicitly
+    # broadcast (a doc_id column of 5M longs is ~40 MB serialized —
+    # comfortably a map-side hash filter, no shuffle of the decoded
+    # postings). Above it the join shuffles, which the compaction policy
+    # bounds: maybe_compact folds the index at 20% tombstones, so the
+    # shuffle regime is transient by construction. The WAND path never
+    # takes either — it cogroups a BINNED tombstone view per docID bin.
+    BROADCAST_TOMBSTONES_MAX = 5_000_000
+
     def _minus_tombstones(self, df: DataFrame) -> DataFrame:
         if self._tombstones is None:
             return df
-        return df.join(self._tombstones, "doc_id", "left_anti")
+        t = self._tombstones
+        if self._n_tombstones <= self.BROADCAST_TOMBSTONES_MAX:
+            # deterministic plan: don't leave the no-shuffle path to
+            # AQE's runtime estimate of the tombstone side
+            t = F.broadcast(t)
+        return df.join(t, "doc_id", "left_anti")
 
     # -- table access ---------------------------------------------------------
     @property

@@ -136,3 +136,22 @@ def test_ascending_score_order_is_single_takeordered(plan_reader):
     assert physical.count("TakeOrderedAndProject") == 1
     # no global all-rows Sort stage beyond the top-k operator
     assert "Sort [" not in physical
+
+
+def test_tombstone_antijoin_broadcasts(spark, tmp_path):
+    """Below BROADCAST_TOMBSTONES_MAX the tombstone anti-join must plan
+    a BroadcastHashJoin (map-side filter of the decoded postings) — not
+    a shuffled join left to AQE's runtime estimate."""
+    from noise_spark.corpus import generate_pages
+    from noise_spark.index.incremental import delete_docs
+    from noise_spark.query import IndexReader
+
+    idx = str(tmp_path / "tomb")
+    pages = generate_pages(spark, 200, seed=42, partitions=4)
+    build_index(spark, pages, idx, BuildConfig(block_size=64))
+    reader = IndexReader(spark, idx)
+    delete_docs(spark, idx, reader.docs.limit(10).select("url"))
+    reader = IndexReader(spark, idx)
+    assert reader._n_tombstones == 10
+    plan = _plan(reader.postings_for(["w00001"]))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
