@@ -15,8 +15,14 @@ as DataFrame operations. Covered grammar:
   a standalone complement resolved against the sibling AND scope or the
   doc universe (a negated OR arm is legal, repl-tests/not.noise:113)
 - ``find {}``                     all docs
+- ``{a: {b: <cond>}}``            nested object predicate — keypath
+  sugar over typed struct columns (src/parser.rs:748-765)
+- ``{a: [ == v || == w ]}`` / ``{a: [{b: == v}]}``  anonymous
+  array-element condition, same-element semantics for object
+  conditions (src/parser.rs:1070-1080, query_basic.noise:44-97)
 - ``{f: x::[== <json>]}`` + ``return x``  bind variable over an
-  array-valued (possibly virtual) field (src/filters.rs:1068-1152)
+  array-valued (possibly virtual) field (src/filters.rs:1068-1152);
+  element conditions support ||/&& chains on scalars and objects
 - ``{g: && [W,S,E,N]}``           geo bbox overlap over a bbox struct
   field (src/filters.rs:503-586; Z-order bucketing is the scale path,
   see :mod:`noise_spark.datapipe.geo`)
@@ -303,29 +309,32 @@ class _Parser:
             return _combine(P.Or, left, self.object())
         return left
 
-    def bool_expr(self) -> P.Node:
+    def bool_expr(self, prefix: str = "") -> P.Node:
         """Boolean expression inside braces. The reference's ``obool``
         (src/parser.rs:732-746) consumes ONE operator then recurses on
         the whole right side — ``&&`` and ``||`` share one precedence
-        level and associate right: ``a && b || c`` = ``a && (b || c)``."""
-        left = self.unary_expr()
+        level and associate right: ``a && b || c`` = ``a && (b || c)``.
+        ``prefix`` carries the enclosing keypath for nested object
+        predicates (the reference's KeyBuilder push/pop,
+        src/parser.rs:748-765)."""
+        left = self.unary_expr(prefix)
         if self.peek()[1] in ("&&", ","):
             self.next()
-            return _combine(P.And, left, self.bool_expr())
+            return _combine(P.And, left, self.bool_expr(prefix))
         if self.accept("||"):
-            return _combine(P.Or, left, self.bool_expr())
+            return _combine(P.Or, left, self.bool_expr(prefix))
         return left
 
-    def unary_expr(self) -> P.Node:
+    def unary_expr(self, prefix: str = "") -> P.Node:
         if self.accept("!"):
             # legality (double-not / all-not) is checked globally after
             # the parse, as the reference does (src/query.rs:220-228)
-            return _Negated(self.unary_expr())
+            return _Negated(self.unary_expr(prefix))
         if self.accept("("):
-            node = self.bool_expr()
+            node = self.bool_expr(prefix)
             self.expect(")")
             return self._boost(node)
-        return self.clause()
+        return self.clause(prefix)
 
     def _boost(self, node: P.Node) -> P.Node:
         if self.accept("^"):
@@ -336,12 +345,33 @@ class _Parser:
             node = _apply_boost(node, mult)
         return node
 
-    def clause(self) -> P.Node:
+    def clause(self, prefix: str = "") -> P.Node:
         kind, fname = self.next()
         if kind != "word":
             raise ParseError(f"expected a field name, got {fname!r}")
+        fname = prefix + fname
         self.expect(":")
         k, op = self.peek()
+        if op == "{":
+            # nested object predicate — keypath sugar: {a: {b: <cond>}}
+            # applies <cond> at keypath a.b (the reference shreds nested
+            # docs to keypaths, src/parser.rs:748-765; here the keypath
+            # IS the nested struct column, resolved natively by Spark)
+            self.next()
+            node = self.bool_expr(prefix=fname + ".")
+            self.expect("}")
+            return self._boost(node)
+        if op == "[":
+            # anonymous array-element condition {a: [ == v || == w ]} /
+            # {a: [{b: == v}]} — the reference's array filter
+            # (src/parser.rs:1070-1080, query_basic.noise:44-97):
+            # match when ANY element satisfies, same-element semantics
+            # for object conditions. Same machinery as bind variables,
+            # minus the capture (no return surface).
+            self.next()
+            cond = self._bind_cond()
+            self.expect("]")
+            return self._boost(P.Bind("", fname, cond))
         # bind variable: field: name::[<elem condition>]
         # (src/parser.rs:1054-1068, src/filters.rs:1068-1152)
         if (
@@ -421,13 +451,23 @@ class _Parser:
             cond = self._bind_obj_cond(_CMP)
             self.expect("}")
             return cond
+        return self._bind_scalar_cond(_CMP)
+
+    def _bind_scalar_cond(self, _CMP) -> tuple:
         eop = self.peek()[1]
         if eop not in _CMP:
             raise ParseError(
                 f"expected an element comparison inside bind [...], got {eop!r}"
             )
         self.next()
-        return P.cmp(None, eop, self.literal())
+        left = P.cmp(None, eop, self.literal())
+        # element disjunction/conjunction on scalars: [ == "A1" || == "A2" ]
+        # (the reference's abool, repl-tests/query_basic.noise:91-97)
+        nxt = self.peek()[1]
+        if nxt in ("||", "&&"):
+            self.next()
+            return ("or" if nxt == "||" else "and", left, self._bind_scalar_cond(_CMP))
+        return left
 
     def _bind_obj_cond(self, _CMP) -> tuple:
         k, key = self.next()

@@ -522,3 +522,41 @@ def test_score_tie_secondary_order_key_decides_membership(qreader):
         )
     )
     assert got == [1]
+
+
+def test_parse_nested_object_predicate():
+    spec = parse_query('find {meta: {rank: > 1}}', analyzer="whitespace")
+    assert spec.node == P.FieldRange("meta.rank", lo=1, lo_inclusive=False)
+    spec = parse_query(
+        'find {a: {b: == 1 || c: {d: == 2}}}', analyzer="whitespace"
+    )
+    assert spec.node == P.Or((P.FieldEq("a.b", 1), P.FieldEq("a.c.d", 2)))
+
+
+def test_parse_anonymous_array_filter():
+    spec = parse_query('find {tags: [ == "x" || == "z" ]}', analyzer="whitespace")
+    assert spec.node == P.Bind(
+        "", "tags", ("or", P.cmp(None, "==", "x"), P.cmp(None, "==", "z"))
+    )
+    assert spec.binds == {}  # anonymous: no return surface registered
+    spec = parse_query('find {links: [{host: == "c.net"}]}', analyzer="whitespace")
+    assert spec.node == P.Bind("", "links", P.cmp("host", "==", "c.net"))
+
+
+def test_nested_and_array_predicates_execute(nested_reader):
+    # struct keypath range: ranks are 3, None, 1 → only doc 0 has rank>1
+    got = ids(run_query(nested_reader, "find {meta: {rank: > 1}}"))
+    assert got == [0]
+    # scalar array disjunction, same-element object condition
+    got = ids(run_query(nested_reader, 'find {tags: [ == "x" || == "z" ]}'))
+    assert got == [0, 1]
+    got = ids(run_query(nested_reader, 'find {links: [{host: == "c.net"}]}'))
+    assert got == [1]
+    # combined with word match and negation
+    got = ids(
+        run_query(
+            nested_reader,
+            'find {text: ~= "shuffle" && !links: [{host: == "c.net"}]}',
+        )
+    )
+    assert got == [0, 2]
