@@ -1582,6 +1582,37 @@ def ft_collation_order(spark, sf_dir):
     return ranked.select("doc_id", "val", "pos").orderBy("doc_id")
 
 
+@q_retired(
+    "ft_group_agg_language",
+    f"""
+WITH tok AS ({_TOK}),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'dup')
+SELECT d.lang AS lang, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(length(d.text)) AS BIGINT) AS chars
+FROM m JOIN documents d USING (doc_id)
+GROUP BY d.lang
+""",
+)
+def ft_group_agg_language(spark, sf_dir):
+    # return-clause aggregation through the QUERY LANGUAGE (r4 —
+    # repl-tests/group.noise surface): group(.lang) + count() + sum()
+    # over a virtual numeric field, lowered to one groupBy over the
+    # match-set ⨝ doc-store join (parser._run_aggregate_query)
+    from .query.parser import run_query
+
+    r = doc_index(spark, sf_dir)
+    r.virtual_fields["nch"] = lambda d: F.length(d["text"]).cast("long")
+    try:
+        out = run_query(
+            r,
+            'find {text: ~= "dup"} '
+            "return {lang: group(.lang), n: count(), chars: sum(.nch)}",
+        )
+    finally:
+        r.virtual_fields.pop("nch", None)
+    return out
+
+
 def queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

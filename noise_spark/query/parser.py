@@ -33,6 +33,11 @@ as DataFrame operations. Covered grammar:
   | {k: .f default=<json>, ...} | [.f, .g] | <json literal>``
   keypath projection (nested paths lower to getField/getItem/transform,
   src/returnable.rs:17-72) / construction
+- ``return {k: group(.g) [order=asc|desc] [default=X], s: sum(.n),
+  n: count(), ...}`` return-clause aggregation (src/parser.rs:248-340,
+  repl-tests/group.noise): group/count/sum/avg/max/min/max_array/
+  min_array/array/array_flat/concat(sep=) — all-or-none across return
+  items, exclusive with ``order`` (src/query.rs:244,285)
 - ``limit n``
 
 Legality checks mirror the reference (src/query.rs:220-228,
@@ -61,6 +66,17 @@ ERR_ALL_NOT = (
 )
 ERR_DOUBLE_NOT = (
     'Logical not ("!") is nested inside of another logical not. This is not allowed.'
+)
+ERR_MIXED_AGG = (
+    "Return keypaths must either all have aggregate functions, "
+    "or none can them."
+)
+ERR_AGG_ORDER = "Cannot have aggregates and ordering in the same query"
+
+# longest-match order irrelevant here (exact word tokens)
+_AGG_FNS = frozenset(
+    ("group", "sum", "avg", "max", "min", "max_array", "min_array",
+     "array", "array_flat", "concat", "count")
 )
 
 _TOKEN_RE = re.compile(
@@ -143,6 +159,24 @@ class RetBind:
 
     name: str
     path: tuple = ()
+    default: object = None
+    has_default: bool = False
+
+
+@dataclass
+class RetAgg:
+    """A return-clause aggregate — the reference's AggregateFun surface
+    (src/parser.rs:248-340, repl-tests/group.noise): ``group(.k
+    [order=asc|desc])`` grouping keys, ``count() sum avg max min
+    max_array min_array array array_flat concat(.k sep=",")`` over each
+    group (no group() → one global row). ``default=`` fills missing
+    values BEFORE aggregation. Aggregates exclude an ``order`` clause
+    and mix with nothing else (src/query.rs:244,285 error texts)."""
+
+    fn: str
+    path: object = None  # RetPath | None (count)
+    order: str | None = None  # group() only: "asc" | "desc"
+    sep: str = ","  # concat() only
     default: object = None
     has_default: bool = False
 
@@ -252,6 +286,15 @@ class _Parser:
             spec.limit = int(v)
         if self.peek()[0] != "eof":
             raise ParseError(f"trailing input at {self.peek()[1]!r}")
+        # aggregate legality (src/query.rs:231-288): all-or-none across
+        # the return items; aggregates and an order clause are exclusive
+        leaves = _ret_leaves(spec.ret)
+        has_ags = any(isinstance(r, RetAgg) for r in leaves)
+        if has_ags:
+            if spec.orders:
+                raise ParseError(ERR_AGG_ORDER)
+            if not all(isinstance(r, RetAgg) for r in leaves):
+                raise ParseError(ERR_MIXED_AGG)
         return spec
 
     def _json_object(self) -> dict:
@@ -584,6 +627,47 @@ class _Parser:
             if not self.accept(","):
                 return keys
 
+    def _ret_aggregate(self, fn: str):
+        self.next()  # fn word
+        self.expect("(")
+        if fn == "count":
+            self.expect(")")
+            agg = RetAgg("count")
+        else:
+            if self.peek()[1] != ".":
+                # the reference also aggregates bind variables
+                # (bind_name, src/parser.rs:286,308) — unsupported here
+                raise ParseError(
+                    f"expected a keypath in {fn}(...) — aggregates over "
+                    "bind variables are not supported"
+                )
+            self.next()
+            root = self._path_root()
+            if root is None:
+                raise ParseError(f"expected a keypath in {fn}(...)")
+            path = RetPath(root, rest=self._path_segments())
+            order = "asc" if fn == "group" else None
+            sep = ","
+            if fn == "group" and self.accept("order"):
+                self.expect("=")
+                d = self.next()[1]
+                if d not in ("asc", "desc"):
+                    raise ParseError("Expected asc or desc")
+                order = d
+            if fn == "concat" and self.accept("sep"):
+                self.expect("=")
+                k2, v2 = self.next()
+                if k2 != "string":
+                    raise ParseError("concat sep= needs a string")
+                sep = json.loads(v2)
+            self.expect(")")
+            agg = RetAgg(fn, path, order, sep)
+        if self.accept("default"):
+            self.expect("=")
+            agg.default = self.literal()
+            agg.has_default = True
+        return agg
+
     def ret_expr(self):
         kind, v = self.peek()
         if v == ".":
@@ -607,6 +691,12 @@ class _Parser:
             self.expect("(")
             self.expect(")")
             return RetScore()
+        if (
+            kind == "word"
+            and v in _AGG_FNS
+            and self.toks[self.i + 1][1] == "("
+        ):
+            return self._ret_aggregate(v)
         if kind == "word" and v in self.binds:
             self.next()
             path = []
@@ -846,6 +936,8 @@ def run_query(reader, text: str, params: dict | None = None, default_k: int = 10
     from pyspark.sql import functions as F
 
     spec = parse_query(text, params, analyzer=getattr(reader, "analyzer", "porter"))
+    if any(isinstance(r, RetAgg) for r in _ret_leaves(spec.ret)):
+        return _run_aggregate_query(reader, spec, F)
     wants_score = any(o.kind == "score" for o in spec.orders) or _ret_uses_score(spec.ret)
     limit = spec.limit or default_k
 
@@ -920,6 +1012,141 @@ def run_query(reader, text: str, params: dict | None = None, default_k: int = 10
     return out.select(_ret_column(spec.ret, F, available, spec.binds).alias("result"))
 
 
+def _run_aggregate_query(reader, spec: QuerySpec, F):
+    """Lower a return-clause aggregation (repl-tests/group.noise) to ONE
+    groupBy over the match set joined to the doc store: group() paths
+    become grouping expressions, everything else a per-group aggregate;
+    no group() → a single global row. Result rows order by the group
+    keys in their declared directions (the reference's GroupAsc /
+    GroupDesc); ``limit`` applies to the grouped rows. Collected
+    aggregates (array / array_flat / concat) order elements by doc_id
+    for determinism (the reference collects in its own seq order — an
+    insertion-order artifact, not a semantic guarantee)."""
+    from pyspark.sql import types as T
+
+    leaves = _ret_leaves(spec.ret)
+    named = (
+        [(k, r) for k, r in spec.ret.items]
+        if isinstance(spec.ret, RetObject)
+        else [(f"_c{i}", r) for i, r in enumerate(leaves)]
+    )
+
+    docs = reader.docs_view() if hasattr(reader, "docs_view") else reader.docs
+    doc_cols = set(docs.columns)
+    roots = set()
+    for _, a in named:
+        if a.path is not None and a.path.path != "_id":
+            if a.path.path not in doc_cols and not a.has_default:
+                raise ParseError(f"unknown return field .{a.path.path}")
+            if a.path.path in doc_cols:
+                roots.add(a.path.path)
+    base = reader._match_set(spec.node)
+    joined = base.join(docs.select("doc_id", *sorted(roots)), "doc_id", "left")
+
+    def value_expr(a: RetAgg):
+        if a.path is None or a.path.path == "_id":
+            col = F.col("doc_id")
+        elif a.path.path not in doc_cols:
+            return F.lit(a.default)  # has_default guaranteed above
+        else:
+            col = _apply_path(F.col(a.path.path), a.path.rest, F)
+        if a.has_default:
+            col = F.coalesce(col, F.lit(a.default))
+        return col
+
+    def dtype_of(expr):
+        return joined.select(expr.alias("_t")).schema[0].dataType
+
+    def flat_array(expr, dt):
+        # deep-flatten nested arrays so element aggregates see scalars
+        while isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.ArrayType):
+            expr, dt = F.flatten(expr), dt.elementType
+        return expr, dt
+
+    def ordered_collect(expr):
+        # deterministic element order: collect (doc_id, v) structs, sort
+        # by doc_id, project v back out — collect_list alone is
+        # partition-order-dependent (and drops nulls; structs don't)
+        pairs = F.array_sort(
+            F.collect_list(F.struct(F.col("doc_id").alias("_d"), expr.alias("_v")))
+        )
+        return F.transform(pairs, lambda x: x["_v"])
+
+    group_items = [(k, a) for k, a in named if a.fn == "group"]
+    gcols = [value_expr(a).alias(f"_g{i}") for i, (k, a) in enumerate(group_items)]
+
+    agg_exprs = []
+    for k, a in named:
+        if a.fn == "group":
+            continue
+        if a.fn == "count":
+            agg_exprs.append(F.count(F.lit(1)).alias(k))
+            continue
+        v = value_expr(a)
+        dt = dtype_of(v)
+        is_arr = isinstance(dt, T.ArrayType)
+        if is_arr:
+            v, dt = flat_array(v, dt)
+        if a.fn == "sum":
+            e = (
+                F.coalesce(
+                    F.sum(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x)),
+                    F.lit(0.0),
+                )
+                if is_arr
+                else F.coalesce(F.sum(v), F.lit(0))
+            )
+        elif a.fn == "avg":
+            if is_arr:
+                tot = F.sum(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x))
+                n = F.sum(F.size(v))
+                e = F.when(n > 0, tot / n)
+            else:
+                e = F.avg(v)
+        elif a.fn == "max":
+            e = F.max(v)
+        elif a.fn == "min":
+            e = F.min(v)
+        elif a.fn == "max_array":
+            e = F.max(F.array_max(v)) if is_arr else F.max(v)
+        elif a.fn == "min_array":
+            e = F.min(F.array_min(v)) if is_arr else F.min(v)
+        elif a.fn == "array":
+            e = ordered_collect(v)
+        elif a.fn == "array_flat":
+            e = F.flatten(ordered_collect(v)) if is_arr else ordered_collect(v)
+        elif a.fn == "concat":
+            e = F.array_join(ordered_collect(v.cast("string")), a.sep)
+        else:  # pragma: no cover — parser gates the fn set
+            raise ParseError(f"unknown aggregate {a.fn!r}")
+        agg_exprs.append(e.alias(k))
+
+    if gcols:
+        out = joined.groupBy(*gcols).agg(*agg_exprs)
+        order_cols = [
+            F.col(f"_g{i}").asc() if a.order != "desc" else F.col(f"_g{i}").desc()
+            for i, (k, a) in enumerate(group_items)
+        ]
+        out = out.orderBy(*order_cols)
+        # surface the group keys under their return names
+        for i, (k, a) in enumerate(group_items):
+            out = out.withColumnRenamed(f"_g{i}", k)
+    else:
+        out = joined.agg(*agg_exprs)
+    out = out.select(*[k for k, _ in named])
+    if spec.limit is not None:
+        out = out.limit(spec.limit)
+    if isinstance(spec.ret, RetObject) or len(named) == 1 and not isinstance(spec.ret, RetArray):
+        if not isinstance(spec.ret, (RetObject, RetArray)):
+            out = out.withColumnRenamed(named[0][0], "result")
+        return out
+    # top-level constructed array → one string-rendered array column,
+    # consistent with the non-aggregate RetArray rendering
+    return out.select(
+        F.array(*[F.col(k).cast("string") for k, _ in named]).alias("result")
+    )
+
+
 def _score_primary_desc(spec: QuerySpec) -> bool:
     """True iff the engine's (score desc, doc_id) top-k IS the query's
     full ordering, so fetching only k rows is membership-correct. A
@@ -930,6 +1157,17 @@ def _score_primary_desc(spec: QuerySpec) -> bool:
         return True  # default ordering below is (score desc, doc_id)
     o = spec.orders[0]
     return len(spec.orders) == 1 and o.kind == "score" and not o.asc
+
+
+def _ret_leaves(ret) -> list:
+    """Flat leaf list of a return spec (object/array items flattened)."""
+    if ret is None:
+        return []
+    if isinstance(ret, RetObject):
+        return [r for _, r in ret.items]
+    if isinstance(ret, RetArray):
+        return list(ret.items)
+    return [ret]
 
 
 def _ret_uses_score(ret) -> bool:

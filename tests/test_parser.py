@@ -560,3 +560,89 @@ def test_nested_and_array_predicates_execute(nested_reader):
         )
     )
     assert got == [0, 2]
+
+
+@pytest.fixture(scope="module")
+def agg_reader(spark, tmp_path_factory):
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("baz", T.StringType()),
+            T.StructField("bar", T.LongType()),
+            T.StructField("vals", T.ArrayType(T.LongType())),
+            T.StructField("deep", T.ArrayType(T.ArrayType(T.LongType()))),
+        ]
+    )
+    rows = [
+        (0, "agg doc", "a", 1, [1, 2, 3], [[1, 2], [3]]),
+        (1, "agg doc", "b", 2, [4, 5], [[4]]),
+        (2, "agg doc", None, 3, [], []),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=[f.name for f in schema]), schema
+    )
+    idx = str(tmp_path_factory.mktemp("agg") / "idx")
+    build_index(
+        spark,
+        df,
+        idx,
+        BuildConfig(
+            analyzer="whitespace",
+            doc_id_col="doc_id",
+            extra_doc_cols=("baz", "bar", "vals", "deep"),
+        ),
+    )
+    return IndexReader(spark, idx)
+
+
+def test_aggregate_group_sum_count(agg_reader):
+    rows = run_query(
+        agg_reader,
+        'find {text: ~= "agg"} return {baz: group(.baz) default="z", '
+        "bar: sum(.bar), n: count()}",
+    ).collect()
+    assert [(r["baz"], r["bar"], r["n"]) for r in rows] == [
+        ("a", 1, 1), ("b", 2, 1), ("z", 3, 1),
+    ]
+
+
+def test_aggregate_arrays_and_defaults(agg_reader):
+    # element aggregates deep-flatten nested arrays (group.noise:224-249)
+    row = run_query(
+        agg_reader,
+        'find {text: ~= "agg"} return {s: sum(.vals), a: avg(.vals), '
+        "mx: max_array(.vals), mn: min_array(.vals), ds: sum(.deep)}",
+    ).collect()[0]
+    assert (row["s"], row["a"], row["mx"], row["mn"], row["ds"]) == (
+        15.0, 3.0, 5, 1, 10.0,
+    )
+    # aggregate default= fills missing VALUES before aggregating
+    # (group.noise:98-109); an entirely-absent field needs the default
+    row = run_query(
+        agg_reader,
+        'find {text: ~= "agg"} return {m: max(.nosuch) default=120}',
+    ).collect()[0]
+    assert row["m"] == 120
+
+
+def test_aggregate_global_and_ordering_rules(agg_reader):
+    # no group() → one global row; concat orders by doc_id
+    row = run_query(
+        agg_reader,
+        'find {text: ~= "agg"} return concat(.baz sep="|")',
+    ).collect()[0]
+    assert row["result"] == "a|b"  # null baz skipped by array_join
+    # grouped rows order by group keys in declared directions; limit after
+    rows = run_query(
+        agg_reader,
+        'find {text: ~= "agg"} return [group(.bar order=desc), count()] limit 2',
+    ).collect()
+    assert [list(r["result"]) for r in rows] == [["3", "1"], ["2", "1"]]
+    with pytest.raises(ParseError, match="aggregates and ordering"):
+        parse_query('find {} order .bar return {n: count()}', analyzer="whitespace")
+    with pytest.raises(ParseError, match="all have aggregate"):
+        parse_query('find {} return {n: count(), x: .bar}', analyzer="whitespace")
