@@ -390,9 +390,15 @@ class _Parser:
 
     def clause(self, prefix: str = "") -> P.Node:
         kind, fname = self.next()
-        if kind != "word":
+        if kind == "string":
+            # quoted field names carry any chars ({"$A": == true},
+            # query_basic.noise:~)
+            fname = json.loads(fname)
+        elif kind != "word":
             raise ParseError(f"expected a field name, got {fname!r}")
         fname = prefix + fname
+        if fname == "_id":
+            fname = "doc_id"  # the reference's primary key ≡ our doc_id
         self.expect(":")
         k, op = self.peek()
         if op == "{":
@@ -514,20 +520,31 @@ class _Parser:
 
     def _bind_obj_cond(self, _CMP) -> tuple:
         k, key = self.next()
-        if k != "word":
+        if k == "string":
+            key = json.loads(key)
+        elif k != "word":
             raise ParseError(f"expected an element field name, got {key!r}")
         self.expect(":")
-        eop = self.peek()[1]
-        if eop not in _CMP:
-            raise ParseError(
-                f"expected an element comparison after {key!r}:, got {eop!r}"
-            )
-        self.next()
-        left = P.cmp(key, eop, self.literal())
-        nxt = self.peek()[1]
-        if nxt in ("||", "&&"):
+        if self.peek()[1] == "[":
+            # nested array condition on an element field:
+            # {A: [{C: [{D: == "D"}]}]}  (query_basic.noise:39)
             self.next()
-            return ("or" if nxt == "||" else "and", left, self._bind_obj_cond(_CMP))
+            inner = self._bind_cond()
+            self.expect("]")
+            left = ("arr", key, inner)
+        else:
+            eop = self.peek()[1]
+            if eop not in _CMP:
+                raise ParseError(
+                    f"expected an element comparison after {key!r}:, got {eop!r}"
+                )
+            self.next()
+            left = P.cmp(key, eop, self.literal())
+        nxt = self.peek()[1]
+        if nxt in ("||", "&&", ","):
+            self.next()
+            op = "or" if nxt == "||" else "and"  # ',' ≡ '&&' (same element)
+            return (op, left, self._bind_obj_cond(_CMP))
         return left
 
     def _word_clause(self, fname: str, val, window: int | None) -> P.Node:

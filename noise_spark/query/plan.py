@@ -183,6 +183,13 @@ def _cond_pred(cond: tuple):
     if tag in ("or", "and"):
         lp, rp = _cond_pred(cond[1]), _cond_pred(cond[2])
         return (lambda e: lp(e) | rp(e)) if tag == "or" else (lambda e: lp(e) & rp(e))
+    if tag == "arr":
+        # ("arr", key, inner): the element's field is itself an array —
+        # match when ANY inner element satisfies (nested array filter,
+        # query_basic.noise:39). Nested HOFs are legal in Spark SQL.
+        _, key, inner = cond
+        ip = _cond_pred(inner)
+        return lambda e: F.exists(e[key], ip)
     _, key, op, v = cond
 
     def pred(e):

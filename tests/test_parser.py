@@ -646,3 +646,66 @@ def test_aggregate_global_and_ordering_rules(agg_reader):
         parse_query('find {} order .bar return {n: count()}', analyzer="whitespace")
     with pytest.raises(ParseError, match="all have aggregate"):
         parse_query('find {} return {n: count(), x: .bar}', analyzer="whitespace")
+
+
+def test_parse_quoted_field_comma_and_nested_array_conditions():
+    # quoted field names, ',' ≡ '&&' inside object element conditions,
+    # nested array conditions, and _id ≡ doc_id (query_basic.noise)
+    spec = parse_query('find {"$A": == true}', analyzer="whitespace")
+    assert spec.node == P.FieldEq("$A", True)
+    spec = parse_query('find {_id: == 3}', analyzer="whitespace")
+    assert spec.node == P.FieldEq("doc_id", 3)
+    spec = parse_query(
+        'find {A: [{B: == "B2", C: == "C2"}]}', analyzer="whitespace"
+    )
+    assert spec.node == P.Bind(
+        "", "A", ("and", P.cmp("B", "==", "B2"), P.cmp("C", "==", "C2"))
+    )
+    spec = parse_query(
+        'find {A: [{B: == "B2", C: [{D: == "D"}]}]}', analyzer="whitespace"
+    )
+    assert spec.node == P.Bind(
+        "",
+        "A",
+        ("and", P.cmp("B", "==", "B2"), ("arr", "C", P.cmp("D", "==", "D"))),
+    )
+
+
+def test_nested_array_condition_executes(spark, tmp_path):
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField(
+                "A",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("B", T.StringType()),
+                            T.StructField("C", T.ArrayType(T.StringType())),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+    rows = [
+        (0, "na doc", [{"B": "B2", "C": ["D", "E"]}]),
+        (1, "na doc", [{"B": "B2", "C": ["X"]}]),
+        (2, "na doc", [{"B": "B9", "C": ["D"]}]),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=[f.name for f in schema]), schema)
+    idx = str(tmp_path / "na")
+    build_index(
+        spark, df, idx,
+        BuildConfig(analyzer="whitespace", doc_id_col="doc_id", extra_doc_cols=("A",)),
+    )
+    r = IndexReader(spark, idx)
+    # same-element: B == "B2" AND C contains "D" → only doc 0
+    got = ids(run_query(r, 'find {A: [{B: == "B2", C: [ == "D" ]}]}'))
+    assert got == [0]
+    got = ids(run_query(r, "find {_id: == 2}"))
+    assert got == [2]
