@@ -130,6 +130,16 @@ class IndexReader:
                 self._tombstones = spark.read.parquet(
                     stages["tombstones"]["path"]
                 )
+            else:
+                # rows==0/absent can also mean the lineage read failed at
+                # commit time (catalog degrades to [] on footer errors) —
+                # for DELETED-DOC EXCLUSION the data, not the metadata, is
+                # ground truth, so verify with the old isEmpty job before
+                # concluding there is nothing to exclude
+                t = spark.read.parquet(stages["tombstones"]["path"])
+                if not t.isEmpty():
+                    self._tombstones = t
+                    self._n_tombstones = t.count()
         self._term_stats_delta = (
             stages["term_stats_delta"]["path"] if "term_stats_delta" in stages else None
         )

@@ -295,6 +295,18 @@ class _Parser:
                 raise ParseError(ERR_AGG_ORDER)
             if not all(isinstance(r, RetAgg) for r in leaves):
                 raise ParseError(ERR_MIXED_AGG)
+            top = (
+                [r for _, r in spec.ret.items]
+                if isinstance(spec.ret, RetObject)
+                else list(spec.ret.items)
+                if isinstance(spec.ret, RetArray)
+                else [spec.ret]
+            )
+            if not all(isinstance(r, RetAgg) for r in top):
+                raise ParseError(
+                    "aggregates must be top-level return items "
+                    "(not nested inside constructed objects/arrays)"
+                )
         return spec
 
     def _json_object(self) -> dict:
@@ -394,6 +406,12 @@ class _Parser:
             # quoted field names carry any chars ({"$A": == true},
             # query_basic.noise:~)
             fname = json.loads(fname)
+            if "." in fname:
+                # a literal dot would be indistinguishable from the
+                # nested-keypath lowering (F.col("a.b") walks structs)
+                raise ParseError(
+                    "quoted field names containing '.' are not supported"
+                )
         elif kind != "word":
             raise ParseError(f"expected a field name, got {fname!r}")
         fname = prefix + fname
@@ -680,6 +698,8 @@ class _Parser:
             self.expect(")")
             agg = RetAgg(fn, path, order, sep)
         if self.accept("default"):
+            if fn == "count":
+                raise ParseError("count() takes no default= (it has no input)")
             self.expect("=")
             agg.default = self.literal()
             agg.has_default = True
@@ -1029,6 +1049,10 @@ def run_query(reader, text: str, params: dict | None = None, default_k: int = 10
     return out.select(_ret_column(spec.ret, F, available, spec.binds).alias("result"))
 
 
+def _notnull(x):
+    return x.isNotNull()
+
+
 def _run_aggregate_query(reader, spec: QuerySpec, F):
     """Lower a return-clause aggregation (repl-tests/group.noise) to ONE
     groupBy over the match set joined to the doc store: group() paths
@@ -1075,9 +1099,15 @@ def _run_aggregate_query(reader, spec: QuerySpec, F):
         return joined.select(expr.alias("_t")).schema[0].dataType
 
     def flat_array(expr, dt):
-        # deep-flatten nested arrays so element aggregates see scalars
+        # deep-flatten nested arrays so element aggregates see scalars;
+        # drop null elements at each level FIRST — flatten() of an array
+        # containing a null element is NULL, and a null element inside
+        # F.aggregate nulls the whole row's reduction (missing keypath
+        # values are simply absent in the reference)
+        expr = F.filter(expr, _notnull)
         while isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.ArrayType):
             expr, dt = F.flatten(expr), dt.elementType
+            expr = F.filter(expr, _notnull)
         return expr, dt
 
     def ordered_collect(expr):
@@ -1129,15 +1159,25 @@ def _run_aggregate_query(reader, spec: QuerySpec, F):
         elif a.fn == "min_array":
             e = F.min(F.array_min(v)) if is_arr else F.min(v)
         elif a.fn == "array":
-            e = ordered_collect(v)
+            # missing values are absent, not null entries (the reference
+            # omits unmatched keypaths) — consistent with concat below
+            e = F.filter(ordered_collect(v), _notnull)
         elif a.fn == "array_flat":
-            e = F.flatten(ordered_collect(v)) if is_arr else ordered_collect(v)
+            e = (
+                F.flatten(F.filter(ordered_collect(v), _notnull))
+                if is_arr
+                else F.filter(ordered_collect(v), _notnull)
+            )
         elif a.fn == "concat":
             e = F.array_join(ordered_collect(v.cast("string")), a.sep)
         else:  # pragma: no cover — parser gates the fn set
             raise ParseError(f"unknown aggregate {a.fn!r}")
         agg_exprs.append(e.alias(k))
 
+    if not agg_exprs and gcols:
+        # all-group return ({l: group(.lang)}): distinct groups only —
+        # GroupedData.agg() asserts on an empty expr list
+        agg_exprs = [F.first(F.lit(1)).alias("_one")]
     if gcols:
         out = joined.groupBy(*gcols).agg(*agg_exprs)
         order_cols = [
@@ -1177,13 +1217,15 @@ def _score_primary_desc(spec: QuerySpec) -> bool:
 
 
 def _ret_leaves(ret) -> list:
-    """Flat leaf list of a return spec (object/array items flattened)."""
+    """Flat leaf list of a return spec — RECURSIVE through nested
+    objects/arrays, so an aggregate hidden at any depth is seen by the
+    all-or-none legality check."""
     if ret is None:
         return []
     if isinstance(ret, RetObject):
-        return [r for _, r in ret.items]
+        return [x for _, r in ret.items for x in _ret_leaves(r)]
     if isinstance(ret, RetArray):
-        return list(ret.items)
+        return [x for r in ret.items for x in _ret_leaves(r)]
     return [ret]
 
 

@@ -709,3 +709,53 @@ def test_nested_array_condition_executes(spark, tmp_path):
     assert got == [0]
     got = ids(run_query(r, "find {_id: == 2}"))
     assert got == [2]
+
+
+def test_aggregate_null_hygiene_and_edge_legality(agg_reader):
+    # doc 2 has baz=None: array() omits missing values (like concat and
+    # the reference's absent-keypath behavior) instead of collecting null
+    row = run_query(
+        agg_reader, 'find {text: ~= "agg"} return array(.baz)'
+    ).collect()[0]
+    assert list(row["result"]) == ["a", "b"]
+    # all-group return → distinct groups, no empty-agg crash
+    rows = run_query(
+        agg_reader, 'find {text: ~= "agg"} return {b: group(.bar)}'
+    ).collect()
+    assert [r["b"] for r in rows] == [1, 2, 3]
+    # nested aggregates are rejected cleanly, not crashed on
+    with pytest.raises(ParseError, match="top-level"):
+        parse_query('find {} return {a: {n: count()}}', analyzer="whitespace")
+    with pytest.raises(ParseError, match="no default"):
+        parse_query('find {} return {n: count() default=5}', analyzer="whitespace")
+    with pytest.raises(ParseError, match="quoted field"):
+        parse_query('find {"a.b": == 1}', analyzer="whitespace")
+
+
+def test_aggregate_null_array_elements(spark, tmp_path):
+    """A null array element must not null out sum/avg/array_flat for
+    the whole group (F.aggregate/F.flatten propagate nulls otherwise)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("vals", T.ArrayType(T.LongType())),
+        ]
+    )
+    rows = [(0, "nn doc", [1, None]), (1, "nn doc", [2]), (2, "nn doc", None)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=[f.name for f in schema]), schema)
+    idx = str(tmp_path / "nn")
+    build_index(
+        spark, df, idx,
+        BuildConfig(analyzer="whitespace", doc_id_col="doc_id", extra_doc_cols=("vals",)),
+    )
+    r = IndexReader(spark, idx)
+    row = run_query(
+        r,
+        'find {text: ~= "nn"} return {s: sum(.vals), a: avg(.vals), f: array_flat(.vals)}',
+    ).collect()[0]
+    assert row["s"] == 3.0 and row["a"] == 1.5
+    assert list(row["f"]) == [1, 2]
