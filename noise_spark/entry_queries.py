@@ -27,7 +27,7 @@ from .index.catalog import IndexCatalog
 from .query import plan as P
 from .query.engine import IndexReader
 
-INDEX_FORMAT_VERSION = "v8"  # bump to invalidate cached on-disk indexes
+INDEX_FORMAT_VERSION = "v9"  # bump to invalidate cached on-disk indexes
 K1, B = 1.2, 0.75
 
 _READERS: dict[str, IndexReader] = {}
@@ -942,16 +942,21 @@ def ft_query_language(spark, sf_dir):
 @q(
     "ft_query_language_return",
     """
-SELECT printf('doc:%012d', doc_id) AS result FROM documents
-WHERE lang = 'de' ORDER BY result DESC, doc_id LIMIT 5
+SELECT doc_id, printf('doc:%012d', doc_id) AS url,
+       CAST(NULL AS TIMESTAMP) AS warc_ts, lang, text
+FROM documents WHERE lang = 'de' ORDER BY url DESC, doc_id LIMIT 5
 """,
 )
 def ft_query_language_return(spark, sf_dir):
-    # order-by-field + return-path projection through the parser
+    # order-by-field + bare `return .` = the WHOLE document
+    # (src/returnable.rs:17-72; repl-tests/query_basic.noise:249-252):
+    # every doc-store column, doc_id (`_id`) first. The oracle rebuilds
+    # the same doc shape straight from the documents table (url is the
+    # build's synthesized doc:%012d, warc_ts was absent → NULL).
     from .query.parser import run_query
 
     r = doc_index(spark, sf_dir)
-    return run_query(r, 'find {lang: == "de"} order .url desc return .url limit 5')
+    return run_query(r, 'find {lang: == "de"} order .url desc return . limit 5')
 
 
 @q(

@@ -111,6 +111,12 @@ N_BUCKETS = 64
 FIELD_SEP = "\x1f"
 
 
+def _raw_col(name: str):
+    """Column reference by LITERAL name — backtick-escaped so dotted
+    names ("a.b") select the column instead of walking structs."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
 def scoped_term(field: str, term: str) -> str:
     return f"{field}{FIELD_SEP}{term}"
 
@@ -423,7 +429,12 @@ def build_index(
                 schema=_extract_schema(id_cols, extra_fields),
             )
         else:
-            prepared = prepared.select(*dict.fromkeys(id_cols + keep))
+            # backtick-quote so a literally-dotted extra_doc_col
+            # ("a.b", the reference's escaped keypath chars,
+            # src/key_builder.rs:385-397) selects by NAME, not struct walk
+            prepared = prepared.select(
+                *[_raw_col(c).alias(c) for c in dict.fromkeys(id_cols + keep)]
+            )
         if cfg.doc_id_col:
             numbered = prepared
             if cfg.doc_id_col != "doc_id":
@@ -434,14 +445,38 @@ def build_index(
                     "url", F.format_string("doc:%012d", F.col("doc_id"))
                 )
         else:
-            numbered = assign_doc_ids(prepared, partitions=cfg.partitions)
+            # Number the IDENTITY column alone, then join the rank back
+            # onto the payload. Two reasons, both scale-bound:
+            # (1) repartitionByRange's boundary-sampling job re-executes
+            #     its whole child plan — numbering the prepared frame
+            #     means a SECOND html-extraction pass just to sample
+            #     urls; the slim frame samples a column-pruned parquet
+            #     read instead.
+            # (2) the numbering persist (load-bearing, see docids.py)
+            #     then holds (url, doc_id) rows, not the full text
+            #     payload — memory footprint per 10^9 docs drops from
+            #     ~TB to ~100 GB.
+            # The payload crosses the wire ONCE (the join's hash
+            # shuffle) instead of once through the range shuffle plus
+            # once into the persist. urls must be unique — they are
+            # already the delete/upsert identity key.
+            slim = pages.select("url") if "url" in cols else prepared.select("url")
+            numbered_slim = assign_doc_ids(slim, partitions=cfg.partitions)
+            numbered = prepared.join(numbered_slim, "url")
+            numbered._noise_persisted = getattr(  # type: ignore[attr-defined]
+                numbered_slim, "_noise_persisted", None
+            )
+        # capture the cache handle BEFORE withColumn (which returns a
+        # fresh DataFrame object and would drop the attribute)
+        persisted = getattr(numbered, "_noise_persisted", None)
         if doc_id_offset:
             numbered = numbered.withColumn(
                 "doc_id", F.col("doc_id") + F.lit(doc_id_offset)
             )
-        docs = numbered.select("doc_id", "url", *keep)
+        docs = numbered.select(
+            "doc_id", "url", *[_raw_col(c).alias(c) for c in keep]
+        )
         docs.write.mode("overwrite").parquet(cat.stage_path(sp("docs")))
-        persisted = getattr(numbered, "_noise_persisted", None)
         if persisted is not None:
             persisted.unpersist()
         docs_metrics = {"seconds": time.time() - t0, "doc_id_offset": doc_id_offset}

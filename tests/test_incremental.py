@@ -179,8 +179,28 @@ def test_bulk_delete_100k_stays_distributed(spark, tmp_path):
     )
     reader = IndexReader(spark, idx)
     victims_df = reader.docs.filter(F.col("doc_id") % 2 == 0).select("url")
-    info = delete_docs(spark, idx, victims_df)
+    # the tombstone/delta WRITE must stay distributed (r4 verdict: no
+    # coalesce(1) funnel) — with a small AQE advisory size, 50k
+    # tombstones land in MULTIPLE parquet files; readers union them
+    confs = {
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16k",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "4k",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        info = delete_docs(spark, idx, victims_df)
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v) if v else spark.conf.unset(k)
     assert info["deleted"] == 50_000
+    from noise_spark.index.catalog import IndexCatalog
+
+    man = IndexCatalog(idx).current_manifest()
+    tomb = man["stages"]["tombstones"]
+    assert tomb["rows"] == 50_000
+    assert tomb["files"] > 1, tomb  # not funnelled through one task
     reader = IndexReader(spark, idx)
     assert reader.n_docs == 50_000
     node = P.Or((P.Term("w00000"), P.Term("w00050")))

@@ -385,6 +385,95 @@ def test_run_bind_object_elements(spark, tmp_path_factory):
     ) == []
 
 
+def test_parse_bind_aggregate():
+    from noise_spark.query.parser import RetAgg, RetBind
+
+    spec = parse_query(
+        'find {bar: x::[{a: == "foo"}]} return {s: sum(x.v), w: array(x.)}',
+        analyzer="whitespace",
+    )
+    items = dict(spec.ret.items)
+    assert items["s"] == RetAgg("sum", None, bind=RetBind("x", ("v",)))
+    assert items["w"] == RetAgg("array", None, bind=RetBind("x", ()))
+    # an unbound name is neither a keypath nor a bind variable
+    with pytest.raises(ParseError, match="keypath or bind variable"):
+        parse_query("find {} return sum(z.v)", analyzer="whitespace")
+
+
+def test_bind_aggregates_execute(spark, tmp_path_factory):
+    # aggregates over a bind variable's matched elements
+    # (src/parser.rs:286,308): sum/avg/concat/array_flat over x.v
+    rows = [
+        (1, "doc one", [("foo", 1), ("bar", 2)]),
+        (2, "doc two", [("baz", 3)]),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, bar array<struct<a:string,v:long>>"
+    )
+    idx = str(tmp_path_factory.mktemp("bindagg") / "idx")
+    build_index(
+        spark, df, idx,
+        BuildConfig(
+            analyzer="whitespace", doc_id_col="doc_id", block_size=4,
+            extra_doc_cols=("bar",),
+        ),
+    )
+    r = IndexReader(spark, idx)
+    out = run_query(
+        r,
+        'find {bar: x::[{a: == "foo" || a: == "baz"}]} '
+        'return {n: count(), s: sum(x.v), c: concat(x.a sep="|"), '
+        "f: array_flat(x.v)}",
+    ).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["n"] == 2
+    assert row["s"] == 4.0  # 1 (doc 1's foo) + 3 (doc 2's baz)
+    assert row["c"] == "foo|baz"  # elements in doc_id order
+    assert list(row["f"]) == [1, 3]
+    # grouped: per-text group, bind sum within each group
+    grouped = run_query(
+        r,
+        'find {bar: x::[{a: == "foo" || a: == "baz"}]} '
+        "return {t: group(.text), s: sum(x.v)}",
+    ).collect()
+    assert [(g["t"], g["s"]) for g in grouped] == [("doc one", 1.0), ("doc two", 3.0)]
+
+
+def test_id_string_predicate_addresses_url(qreader):
+    # the reference's _id is the USER's string id ({_id: =="14"},
+    # repl-tests/query_basic.noise); our string-id surface is url —
+    # numeric literals keep addressing the internal doc_id
+    assert ids(run_query(qreader, 'find {_id: == "doc:000000000002"} return ._id')) == [2]
+    assert ids(run_query(qreader, "find {_id: == 3} return ._id")) == [3]
+    # negated string-id predicate composes with an AND scope
+    got = ids(
+        run_query(qreader, 'find {lang: == "de" && _id: != "doc:000000000002"} return ._id')
+    )
+    assert got == [3]
+
+
+def test_quoted_dotted_field_name(spark, tmp_path_factory):
+    # {"a.b": == 1} addresses a LITERAL dotted column (the reference
+    # escapes delimiter chars in keypaths, src/key_builder.rs:385-397)
+    df = spark.createDataFrame(
+        [(1, "alpha one", 1), (2, "alpha two", 2)],
+        "doc_id long, text string, `a.b` long",
+    )
+    idx = str(tmp_path_factory.mktemp("dotted") / "idx")
+    build_index(
+        spark, df, idx,
+        BuildConfig(
+            analyzer="whitespace", doc_id_col="doc_id", block_size=4,
+            extra_doc_cols=("a.b",),
+        ),
+    )
+    r = IndexReader(spark, idx)
+    assert "a.b" in r.docs.columns
+    assert ids(run_query(r, 'find {"a.b": == 1} return ._id')) == [1]
+    assert ids(run_query(r, 'find {text: ~= "alpha" && "a.b": > 1} return ._id')) == [2]
+
+
 def test_run_exact_match_binary_score(qreader):
     rows = run_query(
         qreader, f'find {{text: == "{DOCS[2][1]}"}} return {{i: ._id, s: score()}}'
@@ -485,6 +574,47 @@ def test_nested_return_paths_execute(nested_reader):
     assert [r["a"] for r in out] == ["ada", "bob", "cyd"]
     assert [r["t"] for r in out] == ["x", "z", None]
     assert [list(r["hosts"]) for r in out] == [["a.com", "b.org"], ["c.net"], []]
+
+
+def test_return_whole_doc_execute(qreader):
+    # bare `return .` = the whole STORED document (returnable.rs:17-72;
+    # pinned output repl-tests/query_basic.noise:249-252 includes every
+    # field plus _id): one column per doc-store column, doc_id first
+    out = run_query(qreader, 'find {lang: == "de"} return .')
+    assert out.columns == qreader.docs.columns
+    assert out.columns[0] == "doc_id"
+    rows = out.collect()
+    assert [r["doc_id"] for r in rows] == [2, 3]  # default order: doc_id asc
+    docs = {r["doc_id"]: r.asDict() for r in qreader.docs.collect()}
+    for r in rows:
+        assert r.asDict() == docs[r["doc_id"]]
+
+
+def test_return_whole_doc_nested_struct(qreader):
+    # `.` inside a constructed object renders the doc as ONE struct
+    out = run_query(qreader, 'find {lang: == "de"} return {d: ., id: ._id} limit 2')
+    assert out.columns == ["d", "id"]
+    for r in out.collect():
+        assert r["d"]["doc_id"] == r["id"]
+        assert r["d"]["lang"] == "de"
+        assert r["d"]["text"]  # the full text column rides along
+
+
+def test_return_whole_doc_mixed_with_aggregate_errors(qreader):
+    with pytest.raises(ParseError):
+        parse_query("find {} return [., count()]", analyzer="whitespace")
+
+
+def test_whole_doc_vs_field_is_whitespace_sensitive():
+    # reference consume_no_ws rule (src/parser.rs:343-356):
+    # `return . limit 5` = whole doc + limit clause;
+    # `return .limit` = a field literally named "limit"
+    from noise_spark.query.parser import RetPath, RetWholeDoc
+
+    spec = parse_query("find {} return . limit 5", analyzer="whitespace")
+    assert isinstance(spec.ret, RetWholeDoc) and spec.limit == 5
+    spec = parse_query("find {} return .limit", analyzer="whitespace")
+    assert spec.ret == RetPath("limit")
 
 
 def test_order_key_default_execute(nested_reader):
@@ -728,8 +858,10 @@ def test_aggregate_null_hygiene_and_edge_legality(agg_reader):
         parse_query('find {} return {a: {n: count()}}', analyzer="whitespace")
     with pytest.raises(ParseError, match="no default"):
         parse_query('find {} return {n: count() default=5}', analyzer="whitespace")
-    with pytest.raises(ParseError, match="quoted field"):
-        parse_query('find {"a.b": == 1}', analyzer="whitespace")
+    # quoted dotted field names lower to a backtick-escaped LITERAL
+    # column ref (r5; previously rejected)
+    spec = parse_query('find {"a.b": == 1}', analyzer="whitespace")
+    assert spec.node == P.FieldEq("`a.b`", 1)
 
 
 def test_aggregate_null_array_elements(spark, tmp_path):

@@ -145,7 +145,10 @@ def test_wand_bin_theta0_exact():
 def test_search_many_matches_individual(reader):
     """The batched query-set action must return exactly each query's
     individual top-k."""
-    qs = {k: WAND_QUERIES[k] for k in ("single_head", "or_2", "and_2", "or_boost")}
+    qs = dict(WAND_QUERIES)  # incl. or_missing_term (df=0 arm)
+    # mixed batch: non-flat plans fall back per-query inside the action
+    qs["not_mixed"] = P.Not(P.Term("w00050"), P.Term("w00002"))
+    qs["and_missing"] = P.And((P.Term("w00050"), P.Term("zzz_not_there")))
     batched = {}
     for r in reader.search_many(qs, k=10).collect():
         batched.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
