@@ -28,6 +28,7 @@ def global_row_number(
     out_col: str = "pos",
     partitions: int | None = None,
     start: int = 0,
+    require_unique: bool = False,
 ) -> DataFrame:
     """Distributed ``row_number() OVER (ORDER BY order_cols)``.
 
@@ -74,8 +75,35 @@ def global_row_number(
     def number(iterator):
         pid = TaskContext.get().partitionId()
         n = b_offsets.value.get(pid, start)
+        # duplicate/null detection is EXACT and free here when asked:
+        # equal keys range-partition to the same partition and sort
+        # adjacent, so per-batch adjacency + the carry across batch
+        # boundaries sees every global duplicate
+        prev_last = None
         for pdf in iterator:
             pdf = pdf.copy()
+            if require_unique:
+                keys = pdf[order_cols[0]] if len(order_cols) == 1 else list(
+                    zip(*[pdf[c] for c in order_cols])
+                )
+                import pandas as _pd
+
+                s = _pd.Series(keys).reset_index(drop=True)
+                if s.isnull().any():
+                    raise ValueError(
+                        f"null {order_cols} key cannot be numbered (it is "
+                        "the document identity — fix the input)"
+                    )
+                dup = s[s.duplicated()]
+                if len(dup) or (len(s) and prev_last is not None and s.iloc[0] == prev_last):
+                    v = dup.iloc[0] if len(dup) else s.iloc[0]
+                    raise ValueError(
+                        f"duplicate {order_cols} key {v!r}: identity keys "
+                        "must be unique (duplicates would corrupt docID "
+                        "assignment — dedupe or upsert instead)"
+                    )
+                if len(s):
+                    prev_last = s.iloc[len(s) - 1]
             pdf[out_col] = np.arange(n, n + len(pdf), dtype=np.int64)
             n += len(pdf)
             yield pdf
@@ -87,5 +115,11 @@ def global_row_number(
 
 
 def assign_doc_ids(pages: DataFrame, partitions: int | None = None) -> DataFrame:
-    """Return ``pages`` with an added dense ``doc_id`` column (rank of url)."""
-    return global_row_number(pages, ["url"], out_col="doc_id", partitions=partitions)
+    """Return ``pages`` with an added dense ``doc_id`` column (rank of
+    url). urls must be unique and non-null — they are the document
+    identity (delete/upsert key), and the slim-numbering join in the
+    build fans out on duplicates; this numbering FAILS FAST on either
+    instead of silently corrupting docIDs."""
+    return global_row_number(
+        pages, ["url"], out_col="doc_id", partitions=partitions, require_unique=True
+    )

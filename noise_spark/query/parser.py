@@ -456,7 +456,7 @@ class _Parser:
                 # the reference escapes delimiter chars in keypaths
                 # (src/key_builder.rs:385-397); Spark's native escape is
                 # backtick-quoting the column-path segment
-                fname = "`" + fname.replace("`", "``") + "`"
+                fname = _escape_col(fname)
         elif kind != "word":
             raise ParseError(f"expected a field name, got {fname!r}")
         fname = prefix + fname
@@ -735,7 +735,10 @@ class _Parser:
                 bname = self.next()[1]
                 self.next()  # "."
                 subpath: list = []
-                while self.peek()[0] == "word":
+                # first sub-path segment must be ADJACENT to the dot
+                # (consume_no_ws rule): `concat(x. sep="|")` is a bare
+                # bind + sep kwarg, `concat(x.sep)` a field named sep
+                while self.peek()[0] == "word" and self._adjacent(self.i):
                     subpath.append(self.next()[1])
                     if self.peek()[1] == "." and self.toks[self.i + 1][0] == "word":
                         self.next()
@@ -948,6 +951,24 @@ def parse_query(text: str, params: dict | None = None, analyzer: str = "porter")
 # -- execution ----------------------------------------------------------------
 
 
+def _escape_col(name: str) -> str:
+    """Backtick-escape a LITERAL column name for F.col/select — so a
+    doc column literally named ``a.b`` resolves by name instead of as a
+    struct walk (mirrors build._raw_col on the write side)."""
+    if name.startswith("`") and name.endswith("`"):
+        return name  # already escaped (quoted find-clause field)
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _unescape_col(name: str) -> str:
+    """Inverse of the find-clause quoting: ``` `a.b` ``` → ``a.b`` —
+    the RAW name as it appears in ``docs.columns`` (for membership
+    checks)."""
+    if name.startswith("`") and name.endswith("`"):
+        return name[1:-1].replace("``", "`")
+    return name
+
+
 def _apply_path(col, segs, F):
     """Lower keypath segments over a typed column: object key →
     ``getField``/``getItem``, array index → ``getItem``, array-all →
@@ -1013,7 +1034,8 @@ def _ret_column(ret, F, available: set, binds: dict | None = None, doc_cols: tup
         # columns, `_id` (doc_id) first — the reference reassembles the
         # full document as a JSON value (src/returnable.rs:17-72)
         return F.struct(
-            F.col("doc_id"), *[F.col(c) for c in doc_cols if c != "doc_id"]
+            F.col("doc_id"),
+            *[F.col(_escape_col(c)).alias(c) for c in doc_cols if c != "doc_id"],
         )
     if isinstance(ret, RetPath):
         name = "doc_id" if ret.path == "_id" else ret.path
@@ -1021,7 +1043,9 @@ def _ret_column(ret, F, available: set, binds: dict | None = None, doc_cols: tup
             if isinstance(ret, RetPath) and ret.has_default:
                 return F.lit(ret.default)
             raise ParseError(f"unknown return field .{ret.path}")
-        col = _apply_path(F.col(name), ret.rest, F)
+        # root is a LITERAL column name (possibly containing dots via
+        # `.["a.b"]` quoting); nesting goes through `rest` segments
+        col = _apply_path(F.col(_escape_col(name)), ret.rest, F)
         if ret.has_default:
             col = F.coalesce(col, F.lit(ret.default))
         return col
@@ -1115,14 +1139,21 @@ def run_query(reader, text: str, params: dict | None = None, default_k: int = 10
         # reference fills `default` for absent keypaths, returnable.rs:298)
         _check_missing_ok(spec.ret, missing)
     if join_cols:
-        base = base.join(docs.select("doc_id", *join_cols), "doc_id", "left")
+        # select by LITERAL name (a doc column may contain dots)
+        base = base.join(
+            docs.select(
+                "doc_id", *[F.col(_escape_col(c)).alias(c) for c in join_cols]
+            ),
+            "doc_id",
+            "left",
+        )
 
     order_cols = []
     for o in spec.orders:
         if o.kind == "score":
             col = F.col("score")
         else:
-            col = _apply_path(F.col(o.name), o.rest, F)
+            col = _apply_path(F.col(_escape_col(o.name)), o.rest, F)
             if o.has_default:
                 # missing values compare as the stand-in, not as nulls
                 # (src/parser.rs:1137-1143, repl-tests/collation.noise)
@@ -1145,7 +1176,12 @@ def run_query(reader, text: str, params: dict | None = None, default_k: int = 10
         # top-level `return .` → one column per doc-store column,
         # doc_id (our `_id`) first — the whole document, column-shaped
         return out.select(
-            "doc_id", *[c for c in wholedoc_cols if c != "doc_id"]
+            "doc_id",
+            *[
+                F.col(_escape_col(c)).alias(c)
+                for c in wholedoc_cols
+                if c != "doc_id"
+            ],
         )
     if isinstance(spec.ret, RetObject):
         # a top-level constructed object maps to one COLUMN per key —
@@ -1199,15 +1235,26 @@ def _run_aggregate_query(reader, spec: QuerySpec, F):
     roots = set()
     for _, a in named:
         if a.bind is not None:
-            # bind aggregates read the bind's array field(s)
-            roots |= {b.field for b in spec.binds[a.bind.name] if b.field in doc_cols}
+            # bind aggregates read the bind's array field(s) — RAW
+            # names for membership (find-clause quoting escapes dots)
+            roots |= {
+                _unescape_col(b.field)
+                for b in spec.binds[a.bind.name]
+                if _unescape_col(b.field) in doc_cols
+            }
         elif a.path is not None and a.path.path != "_id":
             if a.path.path not in doc_cols and not a.has_default:
                 raise ParseError(f"unknown return field .{a.path.path}")
             if a.path.path in doc_cols:
                 roots.add(a.path.path)
     base = reader._match_set(spec.node)
-    joined = base.join(docs.select("doc_id", *sorted(roots)), "doc_id", "left")
+    joined = base.join(
+        docs.select(
+            "doc_id", *[F.col(_escape_col(c)).alias(c) for c in sorted(roots)]
+        ),
+        "doc_id",
+        "left",
+    )
 
     def value_expr(a: RetAgg):
         if a.bind is not None:
@@ -1225,7 +1272,7 @@ def _run_aggregate_query(reader, spec: QuerySpec, F):
         elif a.path.path not in doc_cols:
             return F.lit(a.default)  # has_default guaranteed above
         else:
-            col = _apply_path(F.col(a.path.path), a.path.rest, F)
+            col = _apply_path(F.col(_escape_col(a.path.path)), a.path.rest, F)
         if a.has_default:
             col = F.coalesce(col, F.lit(a.default))
         return col
@@ -1397,7 +1444,9 @@ def _collect_ret_fields(ret, out: set, binds: dict | None = None):
         out.add(ret.path)
     elif isinstance(ret, RetBind):
         for b in binds[ret.name]:  # bound values project the array field(s)
-            out.add(b.field)
+            # find-clause quoting escapes dotted names — membership
+            # checks compare against RAW docs.columns names
+            out.add(_unescape_col(b.field))
     elif isinstance(ret, RetObject):
         for _, r in ret.items:
             _collect_ret_fields(r, out, binds)

@@ -391,3 +391,32 @@ def test_append_auto_fields_uses_index_fields(spark, tmp_path):
     assert tuple(r.fields) == ("text", "lang")
     got = [x["doc_id"] for x in r._match_set(P.Term("epsilon")).collect()]
     assert got == [2]
+
+
+def test_duplicate_and_null_urls_fail_fast(spark, tmp_path):
+    """urls are the document identity; the slim-numbering join fans out
+    on duplicates — the build must REFUSE both duplicate and null urls
+    instead of silently corrupting docIDs (r5 review finding)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from noise_spark.corpus import generate_pages
+
+    pages = generate_pages(spark, 50, seed=3, partitions=4)
+    dup = pages.union(pages.limit(1))  # one duplicated url
+    with _pytest.raises(Exception, match="duplicate.*url|url.*duplicate"):
+        build_index(
+            spark, dup, str(tmp_path / "dup"),
+            BuildConfig(analyzer="whitespace", block_size=64),
+        )
+    # null urls also fail LOUDLY (not silently dropped): either the
+    # non-nullable extractor schema rejects them up front, or the
+    # numbering's require_unique null check does
+    nulled = pages.withColumn(
+        "url", F.when(F.rand(7) < 0.1, None).otherwise(F.col("url"))
+    )
+    with _pytest.raises(Exception):
+        build_index(
+            spark, nulled, str(tmp_path / "nul"),
+            BuildConfig(analyzer="whitespace", block_size=64),
+        )

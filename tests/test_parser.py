@@ -438,6 +438,35 @@ def test_bind_aggregates_execute(spark, tmp_path_factory):
         "return {t: group(.text), s: sum(x.v)}",
     ).collect()
     assert [(g["t"], g["s"]) for g in grouped] == [("doc one", 1.0), ("doc two", 3.0)]
+    # bare-bind + kwarg is whitespace-disambiguated (consume_no_ws):
+    # `concat(x.a sep="|")` has a subpath; `concat(x. sep...)` would be
+    # the whole element — here exercise the adjacency rule via group
+    row = run_query(
+        r,
+        'find {bar: x::[{a: == "foo" || a: == "baz"}]} '
+        'return {c: concat(x.a sep="|"), f: array_flat(x.)}',
+    ).collect()[0]
+    assert row["c"] == "foo|baz"
+    # array_flat(x.) flattens the whole matched elements across docs
+    assert [e["a"] for e in row["f"]] == ["foo", "baz"]
+
+
+def test_bind_aggregate_bare_dot_with_kwarg_parses():
+    # reference grammar: bind_name + keypath where bare `.` = the whole
+    # element; a following kwarg (sep=/order=) must NOT be swallowed as
+    # a sub-path segment (whitespace rule)
+    from noise_spark.query.parser import RetAgg, RetBind
+
+    spec = parse_query(
+        'find {bar: x::[== "v"]} return concat(x. sep="|")', analyzer="whitespace"
+    )
+    assert spec.ret == RetAgg("concat", None, sep="|", bind=RetBind("x", ()))
+    spec = parse_query(
+        'find {bar: x::[== "v"]} return {g: group(x.)}', analyzer="whitespace"
+    )
+    assert dict(spec.ret.items)["g"] == RetAgg(
+        "group", None, order="asc", bind=RetBind("x", ())
+    )
 
 
 def test_id_string_predicate_addresses_url(qreader):
@@ -472,6 +501,17 @@ def test_quoted_dotted_field_name(spark, tmp_path_factory):
     assert "a.b" in r.docs.columns
     assert ids(run_query(r, 'find {"a.b": == 1} return ._id')) == [1]
     assert ids(run_query(r, 'find {text: ~= "alpha" && "a.b": > 1} return ._id')) == [2]
+    # the READ side must also address the literal name: whole-doc
+    # return, quoted return path, and order key over the dotted column
+    rows = run_query(r, 'find {"a.b": == 1} return .').collect()
+    assert rows[0]["a.b"] == 1 and rows[0]["doc_id"] == 1
+    rows = run_query(r, 'find {} return .["a.b"] limit 2').collect()
+    assert [x["result"] for x in rows] == [1, 2]
+    rows = run_query(r, 'find {} order .["a.b"] desc return ._id limit 2').collect()
+    assert [x["result"] for x in rows] == [2, 1]
+    # aggregate over the dotted column
+    rows = run_query(r, 'find {} return sum(.["a.b"])').collect()
+    assert rows[0]["result"] == 3
 
 
 def test_run_exact_match_binary_score(qreader):
