@@ -685,7 +685,10 @@ class IndexReader:
         weight) table — segments shared by several queries are decoded
         once, and the whole flat set is one scan + one aggregation
         instead of Q independent scans inside the action (r4 verdict
-        item 6). Non-flat plans (positional, NOT, boolean trees) fall
+        item 6). NOT queries with two flat arms ride the same scan: the
+        negative arm becomes weightless marker rows reduced to
+        matched-count columns inside the same groupBy (no self-join, no
+        second decode). Non-flat plans (positional, boolean trees) fall
         back to their per-query plans unioned into the same action.
         Returns DataFrame(query_id, doc_id, score) with each query's
         top-k (score desc, doc_id tiebreak), rank-identical to
@@ -709,9 +712,46 @@ class IndexReader:
                 and all(isinstance(c, P.Term) for c in node.children)
             )
 
+        def _flat_rows(qid: str, node: P.Node, neg: bool) -> list[tuple] | None:
+            """Weight rows for one flat arm; None = the arm matches
+            NOTHING (absent AND term / all-absent OR). Negative-arm rows
+            are weightless markers (they define a doc set to subtract,
+            never BM25 mass)."""
+            boosts = self._term_boosts(node)
+            present = [t for t in sorted(boosts) if t in dfs]
+            is_and = isinstance(node, P.And)
+            if (is_and and len(present) < len(boosts)) or not present:
+                return None
+            nt = len(present) if is_and else None
+            return [
+                (
+                    qid,
+                    t,
+                    0.0 if neg else bm25_idf(self.n_docs, dfs[t]) * boosts[t],
+                    self.field_avg_dl[self._field_of(t)],
+                    nt,
+                    neg,
+                )
+                for t in present
+            ]
+
+        def _not_neg(x):
+            # unary on purpose: pyspark HOF lambdas dispatch on arity
+            return ~x["neg"]
+
         parts: list[DataFrame] = []
         rows: list[tuple] = []
         for qid, node in queries.items():
+            if isinstance(node, P.Not) and _flat(node.positive) and _flat(node.negative):
+                # NOT with flat arms rides the shared scan too: positive
+                # arm scores as usual, negative arm contributes a
+                # weightless per-query doc set subtracted by anti-join
+                pos = _flat_rows(qid, node.positive, neg=False)
+                if pos is None:
+                    continue  # positive arm matches nothing
+                neg_rows = _flat_rows(qid, node.negative, neg=True) or []
+                rows += pos + neg_rows
+                continue
             if not _flat(node):
                 parts.append(
                     self.search(node, k=k)
@@ -719,34 +759,24 @@ class IndexReader:
                     .select("query_id", "doc_id", "score")
                 )
                 continue
-            boosts = self._term_boosts(node)
-            present = [t for t in sorted(boosts) if t in dfs]
-            is_and = isinstance(node, P.And)
-            if (is_and and len(present) < len(boosts)) or not present:
+            arm = _flat_rows(qid, node, neg=False)
+            if arm is None:
                 # an absent term makes a conjunction unsatisfiable; an
                 # all-absent disjunction matches nothing — zero rows,
                 # exactly like the per-query plan
                 continue
-            nt = len(present) if is_and else None
-            for t in present:
-                rows.append(
-                    (
-                        qid,
-                        t,
-                        bm25_idf(self.n_docs, dfs[t]) * boosts[t],
-                        self.field_avg_dl[self._field_of(t)],
-                        nt,
-                    )
-                )
+            rows += arm
         if rows:
             # pandas-backed → one Arrow partition (see scored_matches)
             wpdf = pd.DataFrame(
-                rows, columns=["query_id", "term", "w", "avgdl", "nt"]
+                rows, columns=["query_id", "term", "w", "avgdl", "nt", "neg"]
             )
             wpdf["nt"] = wpdf["nt"].astype("Int32")  # nullable int for OR rows
             wdf = F.broadcast(
                 self.spark.createDataFrame(
-                    wpdf, "query_id string, term string, w double, avgdl double, nt int"
+                    wpdf,
+                    "query_id string, term string, w double, avgdl double, "
+                    "nt int, neg boolean",
                 )
             )
             k1, b = self.k1, self.b
@@ -759,6 +789,15 @@ class IndexReader:
                 )
             )
             union_terms = sorted({r[1] for r in rows})
+            # ONE groupBy carries both arms (no self-join, segments
+            # decode once): the score aggregates the positive elements
+            # of the term-ascending sorted struct list — filter()
+            # preserves sort order, so the float sum is bitwise the
+            # per-query expression — while the negative arm reduces to
+            # matched-count columns checked in the HAVING-style filter.
+            sorted_all = F.array_sort(
+                F.collect_list(F.struct("term", "contrib", "neg"))
+            )
             per = (
                 self.postings_for(union_terms)
                 .join(wdf, "term")
@@ -766,14 +805,34 @@ class IndexReader:
                 .groupBy("query_id", "doc_id")
                 .agg(
                     F.aggregate(
-                        F.array_sort(F.collect_list(F.struct("term", "contrib"))),
+                        F.filter(sorted_all, _not_neg),
                         F.lit(0.0),
                         lambda acc, x: acc + x["contrib"],
                     ).alias("score"),
-                    F.count(F.lit(1)).alias("_nm"),
-                    F.first("nt").alias("_nt"),
+                    F.count(F.when(~F.col("neg"), F.lit(1))).alias("_nm"),
+                    F.first(
+                        F.when(~F.col("neg"), F.col("nt")), ignorenulls=True
+                    ).alias("_nt"),
+                    F.count(F.when(F.col("neg"), F.lit(1))).alias("_negm"),
+                    F.first(
+                        F.when(F.col("neg"), F.col("nt")), ignorenulls=True
+                    ).alias("_negt"),
                 )
-                .filter(F.col("_nt").isNull() | (F.col("_nm") == F.col("_nt")))
+                # positive arm satisfied (any-of for OR, all-of for AND)...
+                .filter(
+                    (F.col("_nm") > 0)
+                    & (F.col("_nt").isNull() | (F.col("_nm") == F.col("_nt")))
+                )
+                # ...and the negative arm NOT satisfied
+                .filter(
+                    ~(
+                        (F.col("_negm") > 0)
+                        & (
+                            F.col("_negt").isNull()
+                            | (F.col("_negm") == F.col("_negt"))
+                        )
+                    )
+                )
             )
             # exact per-query top-k in TWO stages so no single task ever
             # sorts a whole query's match set: salted partial top-k

@@ -168,6 +168,8 @@ def test_search_many_shares_one_segment_scan(plan_reader):
         "a": P.Or((P.Term("w00001"), P.Term("w00002"))),
         "b": P.And((P.Term("w00001"), P.Term("w00003"))),
         "c": P.Or((P.Term("w00002"),)),
+        # flat-armed NOT rides the same scan (weightless neg markers)
+        "d": P.Not(P.Term("w00001"), P.Term("w00002")),
     }
     df = plan_reader.search_many(qs, k=5)
     # count in the PHYSICAL plan only (queryExecution().toString()

@@ -149,6 +149,16 @@ def test_search_many_matches_individual(reader):
     # mixed batch: non-flat plans fall back per-query inside the action
     qs["not_mixed"] = P.Not(P.Term("w00050"), P.Term("w00002"))
     qs["and_missing"] = P.And((P.Term("w00050"), P.Term("zzz_not_there")))
+    # NOT with an AND negative arm: subtraction requires the FULL
+    # conjunction to match, count-checked inside the shared groupBy
+    qs["not_and_neg"] = P.Not(
+        P.Or((P.Term("w00050"), P.Term("w01500"))),
+        P.And((P.Term("w00002"), P.Term("w00010"))),
+    )
+    # negative arm with an absent term: subtract nothing
+    qs["not_neg_missing"] = P.Not(
+        P.Term("w00050"), P.And((P.Term("w00002"), P.Term("zzz_not_there")))
+    )
     batched = {}
     for r in reader.search_many(qs, k=10).collect():
         batched.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
