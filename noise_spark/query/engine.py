@@ -35,6 +35,60 @@ from ..scoring import bm25_idf
 from . import plan as P
 
 
+def _positions_satisfy(lists, phrase: bool, window: int) -> bool:
+    """Does one doc's set of per-term position lists satisfy the
+    pattern? ``lists`` holds one sorted numpy int array per query term
+    (in query order). Shared by the per-query positional verify and the
+    batched shared-scan verify so both paths are semantically one
+    implementation."""
+    import numpy as np
+
+    if phrase:
+        # vectorized consecutive-position intersection: position lists
+        # are sorted (ascending varbyte deltas), so each step is one
+        # searchsorted probe of cand+i into list i
+        cand = lists[0]
+        for i, pl in enumerate(lists[1:], start=1):
+            if cand.size == 0:
+                return False
+            want = cand + i
+            idx = np.searchsorted(pl, want)
+            valid = idx < pl.size
+            keep = np.zeros(cand.size, dtype=bool)
+            keep[valid] = pl[idx[valid]] == want[valid]
+            cand = cand[keep]
+        return cand.size > 0
+    if len(lists) == 2:
+        # two-term proximity: ∃ (p, q) with |q-p| <= window — one
+        # searchsorted window probe per anchor position, fully
+        # vectorized over l0
+        l0, l1 = lists
+        lo_i = np.searchsorted(l1, l0 - window, side="left")
+        hi_i = np.searchsorted(l1, l0 + window, side="right")
+        return bool((hi_i > lo_i).any())
+    # k>2 terms: minimal-window sweep over the merged event list (the
+    # reference's DistanceFilter sliding window, src/filters.rs:588-726)
+    events = sorted((p, i) for i, pl in enumerate(lists) for p in pl)
+    k = len(lists)
+    need: dict[int, int] = {}
+    have = 0
+    lo = 0
+    for hi in range(len(events)):
+        ti = events[hi][1]
+        need[ti] = need.get(ti, 0) + 1
+        if need[ti] == 1:
+            have += 1
+        while have == k:
+            if events[hi][0] - events[lo][0] <= window:
+                return True
+            tlo = events[lo][1]
+            need[tlo] -= 1
+            if need[tlo] == 0:
+                have -= 1
+            lo += 1
+    return False
+
+
 class IndexReader:
     """Reads a committed index snapshot and answers queries.
 
@@ -494,69 +548,13 @@ class IndexReader:
         w = window
 
         def verify(iterator):
-            import numpy as np
-
             from ..index.codec import decode_positions_row
-
-            def phrase_ok(lists) -> bool:
-                # vectorized consecutive-position intersection: position
-                # lists are sorted (ascending varbyte deltas), so each
-                # step is one searchsorted probe of cand+i into list i
-                cand = lists[0]
-                for i, pl in enumerate(lists[1:], start=1):
-                    if cand.size == 0:
-                        return False
-                    want = cand + i
-                    idx = np.searchsorted(pl, want)
-                    valid = idx < pl.size
-                    keep = np.zeros(cand.size, dtype=bool)
-                    keep[valid] = pl[idx[valid]] == want[valid]
-                    cand = cand[keep]
-                return cand.size > 0
-
-            def prox2_ok(l0, l1) -> bool:
-                # two-term proximity: ∃ (p, q) with |q-p| <= w — one
-                # searchsorted window probe per anchor position, fully
-                # vectorized over l0
-                lo_i = np.searchsorted(l1, l0 - w, side="left")
-                hi_i = np.searchsorted(l1, l0 + w, side="right")
-                return bool((hi_i > lo_i).any())
-
-            def proxk_ok(lists) -> bool:
-                # k>2 terms: minimal-window sweep over the merged event
-                # list (the reference's DistanceFilter sliding window,
-                # src/filters.rs:588-726)
-                events = sorted((p, i) for i, pl in enumerate(lists) for p in pl)
-                k = len(lists)
-                need: dict[int, int] = {}
-                have = 0
-                lo = 0
-                for hi in range(len(events)):
-                    ti = events[hi][1]
-                    need[ti] = need.get(ti, 0) + 1
-                    if need[ti] == 1:
-                        have += 1
-                    while have == k:
-                        if events[hi][0] - events[lo][0] <= w:
-                            return True
-                        tlo = events[lo][1]
-                        need[tlo] -= 1
-                        if need[tlo] == 0:
-                            have -= 1
-                        lo += 1
-                return False
 
             for pdf in iterator:
                 keep = []
                 for doc_id, posmap in zip(pdf["doc_id"], pdf["posmap"]):
                     lists = [decode_positions_row(bytes(posmap[t])) for t in ordered_terms]
-                    if phrase:
-                        ok = phrase_ok(lists)
-                    elif len(lists) == 2:
-                        ok = prox2_ok(lists[0], lists[1])
-                    else:
-                        ok = proxk_ok(lists)
-                    if ok:
+                    if _positions_satisfy(lists, phrase, w):
                         keep.append(doc_id)
                 yield pd.DataFrame({"doc_id": pd.Series(keep, dtype="int64")})
 
@@ -688,8 +686,14 @@ class IndexReader:
         item 6). NOT queries with two flat arms ride the same scan: the
         negative arm becomes weightless marker rows reduced to
         matched-count columns inside the same groupBy (no self-join, no
-        second decode). Non-flat plans (positional, boolean trees) fall
-        back to their per-query plans unioned into the same action.
+        second decode). Top-level phrase / proximity queries ride a
+        SECOND shared scan — ONE positional segment decode over the
+        union of their terms — whose groupBy carries the posmap for
+        pattern verification AND the bitwise-pinned BM25 sum in the
+        same aggregation; one Arrow-batched verify then filters every
+        positional query at once. Remaining non-flat plans (boolean
+        trees, field predicates) fall back to their per-query plans
+        unioned into the same action.
         Returns DataFrame(query_id, doc_id, score) with each query's
         top-k (score desc, doc_id tiebreak), rank-identical to
         per-query :meth:`search` — the per-(query,doc) score uses the
@@ -741,7 +745,33 @@ class IndexReader:
 
         parts: list[DataFrame] = []
         rows: list[tuple] = []
+        # positional queries sharing the second (positional) scan:
+        # qid -> (index keys in query order, is_phrase, window)
+        pos_meta: dict[str, tuple[list[str], bool, int]] = {}
+        pos_rows: list[tuple] = []
         for qid, node in queries.items():
+            if isinstance(node, (P.Phrase, P.Proximity)) and self.has_positions:
+                boosts = self._term_boosts(node)
+                if any(t not in dfs for t in boosts):
+                    continue  # an absent term: the pattern matches nothing
+                keys = [self._key(t, node.field) for t in node.terms]
+                pos_meta[qid] = (
+                    keys,
+                    isinstance(node, P.Phrase),
+                    getattr(node, "window", 0),
+                )
+                nt = len(boosts)
+                pos_rows += [
+                    (
+                        qid,
+                        t,
+                        bm25_idf(self.n_docs, dfs[t]) * boosts[t],
+                        self.field_avg_dl[self._field_of(t)],
+                        nt,
+                    )
+                    for t in sorted(boosts)
+                ]
+                continue
             if isinstance(node, P.Not) and _flat(node.positive) and _flat(node.negative):
                 # NOT with flat arms rides the shared scan too: positive
                 # arm scores as usual, negative arm contributes a
@@ -766,6 +796,18 @@ class IndexReader:
                 # exactly like the per-query plan
                 continue
             rows += arm
+        k1, b = self.k1, self.b
+        contrib = F.col("w") * (
+            (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.col("avgdl")))
+            )
+        )
+        # scored (query_id, doc_id, score) sets from the shared scans;
+        # they share ONE two-stage top-k below
+        scored_sets: list[DataFrame] = []
         if rows:
             # pandas-backed → one Arrow partition (see scored_matches)
             wpdf = pd.DataFrame(
@@ -777,15 +819,6 @@ class IndexReader:
                     wpdf,
                     "query_id string, term string, w double, avgdl double, "
                     "nt int, neg boolean",
-                )
-            )
-            k1, b = self.k1, self.b
-            contrib = F.col("w") * (
-                (F.col("tf") * F.lit(k1 + 1.0))
-                / (
-                    F.col("tf")
-                    + F.lit(k1)
-                    * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.col("avgdl")))
                 )
             )
             union_terms = sorted({r[1] for r in rows})
@@ -834,6 +867,78 @@ class IndexReader:
                     )
                 )
             )
+            scored_sets.append(per.select("query_id", "doc_id", "score"))
+        if pos_rows:
+            # second shared scan: ONE positional segment decode over the
+            # union of every positional query's terms. The groupBy
+            # computes the bitwise-pinned BM25 sum (identical
+            # struct(term, contrib) ascending-sort aggregate as the
+            # per-query path) AND collects the per-term position
+            # payloads; candidates (all nt distinct terms present) then
+            # take one Arrow-batched verify that pattern-checks every
+            # query's docs in the same pass.
+            pwdf = F.broadcast(
+                self.spark.createDataFrame(
+                    pd.DataFrame(
+                        pos_rows,
+                        columns=["query_id", "term", "w", "avgdl", "nt"],
+                    ),
+                    "query_id string, term string, w double, avgdl double, nt int",
+                )
+            )
+            pos_terms = sorted({r[1] for r in pos_rows})
+            per_pos = (
+                self._decode_segments(pos_terms, with_positions=True)
+                .join(pwdf, "term")
+                .withColumn("contrib", contrib)
+                .groupBy("query_id", "doc_id")
+                .agg(
+                    F.aggregate(
+                        F.array_sort(F.collect_list(F.struct("term", "contrib"))),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x["contrib"],
+                    ).alias("score"),
+                    F.count("*").alias("_nm"),
+                    F.first("nt").alias("_nt"),
+                    F.map_from_entries(
+                        F.collect_list(F.struct("term", "positions"))
+                    ).alias("posmap"),
+                )
+                .filter(F.col("_nm") == F.col("_nt"))
+                .select("query_id", "doc_id", "score", "posmap")
+            )
+            meta = pos_meta
+
+            def pos_verify(iterator):
+                from ..index.codec import decode_positions_row
+
+                for pdf in iterator:
+                    keep: list[tuple] = []
+                    for qid, doc_id, score, posmap in zip(
+                        pdf["query_id"], pdf["doc_id"], pdf["score"], pdf["posmap"]
+                    ):
+                        keys, is_phrase, window = meta[qid]
+                        lists = [
+                            decode_positions_row(bytes(posmap[t])) for t in keys
+                        ]
+                        if _positions_satisfy(lists, is_phrase, window):
+                            keep.append((qid, doc_id, score))
+                    yield pd.DataFrame(
+                        keep, columns=["query_id", "doc_id", "score"]
+                    ).astype(
+                        {"doc_id": "int64", "score": "float64"}
+                    )
+
+            scored_sets.append(
+                per_pos.mapInPandas(
+                    pos_verify,
+                    schema="query_id string, doc_id long, score double",
+                )
+            )
+        if scored_sets:
+            scored = scored_sets[0]
+            for s in scored_sets[1:]:
+                scored = scored.unionByName(s)
             # exact per-query top-k in TWO stages so no single task ever
             # sorts a whole query's match set: salted partial top-k
             # (32 ways), then the final top-k over <= 32*k survivors
@@ -842,7 +947,7 @@ class IndexReader:
             w1 = Window.partitionBy("query_id", salt).orderBy(*order)
             w2 = Window.partitionBy("query_id").orderBy(*order)
             topk = (
-                per.withColumn("_rn", F.row_number().over(w1))
+                scored.withColumn("_rn", F.row_number().over(w1))
                 .filter(F.col("_rn") <= k)
                 .withColumn("_rn2", F.row_number().over(w2))
                 .filter(F.col("_rn2") <= k)

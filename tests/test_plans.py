@@ -180,6 +180,25 @@ def test_search_many_shares_one_segment_scan(plan_reader):
     assert "BroadcastHashJoin" in physical
 
 
+def test_search_many_positional_shares_one_scan(plan_reader):
+    """A batch with positional queries plans a CONSTANT number of
+    decodes regardless of Q: one flat postings decode + one positional
+    decode + one Arrow verify = exactly 3 MapInPandas for a mixed
+    4-query batch (not one scan per query)."""
+    from noise_spark.query import plan as P
+
+    qs = {
+        "f1": P.Or((P.Term("w00001"), P.Term("w00002"))),
+        "f2": P.And((P.Term("w00001"), P.Term("w00003"))),
+        "p1": P.Phrase(("w00001", "w00002")),
+        "p2": P.Proximity(("w00002", "w00003"), window=5),
+    }
+    df = plan_reader.search_many(qs, k=5)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert physical.count("MapInPandas") == 3, physical[:2000]
+    assert "BroadcastHashJoin" in physical
+
+
 def test_whole_doc_return_projects_all_doc_columns(plan_reader):
     """`return .` projects every doc-store column through ONE join to
     the match set — no per-column joins, no extra exchanges."""

@@ -159,6 +159,13 @@ def test_search_many_matches_individual(reader):
     qs["not_neg_missing"] = P.Not(
         P.Term("w00050"), P.And((P.Term("w00002"), P.Term("zzz_not_there")))
     )
+    # positional queries ride the second (positional) shared scan
+    qs["phrase"] = P.Phrase(("quick", "brown", "fox"))
+    qs["phrase_2"] = P.Phrase(("multi", "word", "sentenc"))
+    qs["prox_5"] = P.Proximity(("quick", "fox"), window=5)
+    qs["prox_10"] = P.Proximity(("w00050", "w00007"), window=10)
+    qs["phrase_boost"] = P.Phrase(("quick", "brown"), boost=2.0)
+    qs["phrase_missing"] = P.Phrase(("quick", "zzz_not_there"))
     batched = {}
     for r in reader.search_many(qs, k=10).collect():
         batched.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
