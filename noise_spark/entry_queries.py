@@ -199,10 +199,63 @@ def ft_not_topk(spark, sf_dir):
     return _topk_df(r.search(P.Not(P.Term("dup"), P.Term("slow")), k=10))
 
 
-@q("ft_boost_topk", _bm25_sql(["dup", "slow"], boosts={"dup": 2.0}))
+# retired (r5): strict near-twin of ft_batched_queryset's 'boost'
+# member — the identical boosted-OR query and oracle, graded there
+# through the shared-scan search_many path instead of per-query search
+@q_retired("ft_boost_topk", _bm25_sql(["dup", "slow"], boosts={"dup": 2.0}))
 def ft_boost_topk(spark, sf_dir):
     r = doc_index(spark, sf_dir)
     return _topk_df(r.search(P.Or((P.Term("dup", boost=2.0), P.Term("slow"))), k=10))
+
+
+def _tagged(qid: str, sql: str) -> str:
+    return f"SELECT '{qid}' AS query_id, t.* FROM (\n{sql}\n) t"
+
+
+_PHRASE_IN = (
+    f"AND doc_id IN (SELECT ap.doc_id FROM ({_TOKPOS}) ap "
+    "JOIN (" + _TOKPOS + ") bp ON ap.doc_id = bp.doc_id "
+    "WHERE ap.term = 'hash' AND bp.term = 'join' AND bp.pos = ap.pos + 1)"
+)
+_PROX_IN = (
+    f"AND doc_id IN (SELECT ap.doc_id FROM ({_TOKPOS}) ap "
+    "JOIN (" + _TOKPOS + ") bp ON ap.doc_id = bp.doc_id "
+    "WHERE ap.term = 'dup' AND bp.term = 'big' AND abs(bp.pos - ap.pos) <= 3)"
+)
+
+_BATCH_SQL = "\nUNION ALL\n".join(
+    [
+        _tagged("or3", _bm25_sql(["dup", "slow", "merge"])),
+        _tagged("boost", _bm25_sql(["dup", "slow"], boosts={"dup": 2.0})),
+        _tagged("and2", _bm25_sql(["dup", "fast"], require_all=True)),
+        _tagged("not1", _bm25_sql(["dup"], exclude_terms=["slow"])),
+        _tagged("phrase", _bm25_sql(["hash", "join"], extra_where=_PHRASE_IN)),
+        _tagged("prox", _bm25_sql(["dup", "big"], extra_where=_PROX_IN)),
+    ]
+)
+
+
+@q("ft_batched_queryset", _BATCH_SQL)
+def ft_batched_queryset(spark, sf_dir):
+    """A 6-query batch through :meth:`IndexReader.search_many` — ONE
+    Spark action, one shared flat-postings decode + one shared
+    positional decode (the 100 TB batched-serving path) — graded
+    against a UNION ALL of the per-query oracles. Members cover OR,
+    boosted OR, AND, NOT, and SCORED phrase / proximity top-k (the
+    positional members rank by the same BM25 sum as per-query search;
+    reference scoring per src/query.rs + src/filters.rs:588-726)."""
+    r = doc_index(spark, sf_dir)
+    qs = {
+        "or3": P.Or((P.Term("dup"), P.Term("slow"), P.Term("merge"))),
+        "boost": P.Or((P.Term("dup", boost=2.0), P.Term("slow"))),
+        "and2": P.And((P.Term("dup"), P.Term("fast"))),
+        "not1": P.Not(P.Term("dup"), P.Term("slow")),
+        "phrase": P.Phrase(("hash", "join")),
+        "prox": P.Proximity(("dup", "big"), window=3),
+    }
+    return r.search_many(qs, k=10).select(
+        "query_id", "doc_id", F.round("score", 6).alias("score")
+    )
 
 
 @q(
