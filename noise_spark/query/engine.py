@@ -677,23 +677,28 @@ class IndexReader:
 
     def search_many(self, queries: dict[str, P.Node], k: int = 10) -> DataFrame:
         """A whole query set as ONE Spark action with a SHARED segment
-        scan: flat scored shapes (Term / Or-of-terms / And-of-terms) all
-        read from ONE bucket-pruned postings decode over the union of
-        their terms, tagged per query by a broadcast (query_id, term,
-        weight) table — segments shared by several queries are decoded
-        once, and the whole flat set is one scan + one aggregation
-        instead of Q independent scans inside the action (r4 verdict
-        item 6). NOT queries with two flat arms ride the same scan: the
-        negative arm becomes weightless marker rows reduced to
-        matched-count columns inside the same groupBy (no self-join, no
-        second decode). Top-level phrase / proximity queries ride a
+        scan: every TERM-ONLY boolean tree (Term / Or / And / Not,
+        nested to any depth) reads from ONE bucket-pruned postings
+        decode over the union of all trees' terms, tagged per query by
+        a broadcast (query_id, term, weight) table — segments shared by
+        several queries are decoded once, and the whole set is one scan
+        + one aggregation instead of Q independent scans inside the
+        action (r4 verdict item 6). Each tree's match semantics lower
+        to long bit-tests over a per-(query, doc) matched-term BITMASK
+        (every tree key gets a query-local bit; ``bit_or(bit)`` in the
+        shared groupBy is the exact matched set), so nested shapes like
+        ``And(Or(a,b), Not(c,d))`` need no fallback and flat arms
+        collapse to a single mask comparison; negative-arm terms join
+        the scan as weightless marker rows (no BM25 mass). Trees with
+        ≥63 distinct keys (beyond one long) fall back to per-query
+        plans. Top-level phrase / proximity queries ride a
         SECOND shared scan — ONE positional segment decode over the
         union of their terms — whose groupBy carries the posmap for
         pattern verification AND the bitwise-pinned BM25 sum in the
         same aggregation; one Arrow-batched verify then filters every
-        positional query at once. Remaining non-flat plans (boolean
-        trees, field predicates) fall back to their per-query plans
-        unioned into the same action.
+        positional query at once. Remaining plans (positional inside
+        boolean trees, field predicates, exact match) fall back to
+        their per-query plans unioned into the same action.
         Returns DataFrame(query_id, doc_id, score) with each query's
         top-k (score desc, doc_id tiebreak), rank-identical to
         per-query :meth:`search` — the per-(query,doc) score uses the
@@ -707,37 +712,62 @@ class IndexReader:
         )
         dfs = self.term_dfs(all_terms)
 
-        def _flat(node: P.Node) -> bool:
+        def _term_only(node: P.Node) -> bool:
             if isinstance(node, P.Term):
                 return True
-            return (
-                isinstance(node, (P.Or, P.And))
-                and bool(node.children)
-                and all(isinstance(c, P.Term) for c in node.children)
-            )
-
-        def _flat_rows(qid: str, node: P.Node, neg: bool) -> list[tuple] | None:
-            """Weight rows for one flat arm; None = the arm matches
-            NOTHING (absent AND term / all-absent OR). Negative-arm rows
-            are weightless markers (they define a doc set to subtract,
-            never BM25 mass)."""
-            boosts = self._term_boosts(node)
-            present = [t for t in sorted(boosts) if t in dfs]
-            is_and = isinstance(node, P.And)
-            if (is_and and len(present) < len(boosts)) or not present:
-                return None
-            nt = len(present) if is_and else None
-            return [
-                (
-                    qid,
-                    t,
-                    0.0 if neg else bm25_idf(self.n_docs, dfs[t]) * boosts[t],
-                    self.field_avg_dl[self._field_of(t)],
-                    nt,
-                    neg,
+            if isinstance(node, (P.Or, P.And)):
+                return bool(node.children) and all(
+                    _term_only(c) for c in node.children
                 )
-                for t in present
-            ]
+            if isinstance(node, P.Not):
+                return _term_only(node.positive) and _term_only(node.negative)
+            return False
+
+        def _tree_keys(node: P.Node) -> set[str]:
+            """Every index key a term-only tree references (both arms of
+            a NOT — negative-arm terms must join the scan as weightless
+            markers so the match expression can see them)."""
+            if isinstance(node, P.Term):
+                return {self._key(node.term, node.field)}
+            if isinstance(node, (P.Or, P.And)):
+                out: set[str] = set()
+                for c in node.children:
+                    out |= _tree_keys(c)
+                return out
+            return _tree_keys(node.positive) | _tree_keys(node.negative)
+
+        def _tree_expr(node: P.Node, mask, qbits: dict[str, int]):
+            """Lower a term-only boolean tree to JVM long bit-tests over
+            the doc's matched-term bitmask: Term → ``mask & bit != 0``,
+            and sibling Term children of an Or/And merge into ONE mask
+            comparison (``mask & m != 0`` any-of / ``mask & m == m``
+            all-of), so a flat query is a single long compare. Absent
+            (df=0) terms simply never set their bit, so they evaluate
+            correctly for free (an absent AND arm is unsatisfiable, an
+            absent OR arm contributes nothing, an absent negative arm
+            subtracts nothing)."""
+            if isinstance(node, P.Term):
+                b = qbits[self._key(node.term, node.field)]
+                return mask.bitwiseAND(F.lit(b)) != 0
+            if isinstance(node, (P.Or, P.And)):
+                is_or = isinstance(node, P.Or)
+                tb = 0
+                exprs = []
+                for c in node.children:
+                    if isinstance(c, P.Term):
+                        tb |= qbits[self._key(c.term, c.field)]
+                    else:
+                        exprs.append(_tree_expr(c, mask, qbits))
+                if tb:
+                    m = mask.bitwiseAND(F.lit(tb))
+                    exprs.insert(0, (m != 0) if is_or else (m == F.lit(tb)))
+                e = exprs[0]
+                for e2 in exprs[1:]:
+                    e = (e | e2) if is_or else (e & e2)
+                return e
+            return _tree_expr(node.positive, mask, qbits) & ~_tree_expr(
+                node.negative, mask, qbits
+            )
 
         def _not_neg(x):
             # unary on purpose: pyspark HOF lambdas dispatch on arity
@@ -745,6 +775,8 @@ class IndexReader:
 
         parts: list[DataFrame] = []
         rows: list[tuple] = []
+        # qid -> (term-only tree, key -> query-local bit)
+        tree_plans: dict[str, tuple[P.Node, dict[str, int]]] = {}
         # positional queries sharing the second (positional) scan:
         # qid -> (index keys in query order, is_phrase, window)
         pos_meta: dict[str, tuple[list[str], bool, int]] = {}
@@ -772,30 +804,50 @@ class IndexReader:
                     for t in sorted(boosts)
                 ]
                 continue
-            if isinstance(node, P.Not) and _flat(node.positive) and _flat(node.negative):
-                # NOT with flat arms rides the shared scan too: positive
-                # arm scores as usual, negative arm contributes a
-                # weightless per-query doc set subtracted by anti-join
-                pos = _flat_rows(qid, node.positive, neg=False)
-                if pos is None:
-                    continue  # positive arm matches nothing
-                neg_rows = _flat_rows(qid, node.negative, neg=True) or []
-                rows += pos + neg_rows
-                continue
-            if not _flat(node):
-                parts.append(
-                    self.search(node, k=k)
-                    .withColumn("query_id", F.lit(qid))
-                    .select("query_id", "doc_id", "score")
-                )
-                continue
-            arm = _flat_rows(qid, node, neg=False)
-            if arm is None:
-                # an absent term makes a conjunction unsatisfiable; an
-                # all-absent disjunction matches nothing — zero rows,
-                # exactly like the per-query plan
-                continue
-            rows += arm
+            if _term_only(node):
+                keys = sorted(_tree_keys(node))
+                if len(keys) < 63:  # one signed long of query-local bits
+                    boosts = self._term_boosts(node)
+                    scoring = [t for t in sorted(boosts) if t in dfs]
+                    if not scoring:
+                        # a term-only tree only matches docs containing
+                        # at least one positive-skeleton term; with
+                        # every scoring term df=0 nothing can match —
+                        # zero rows, exactly like the per-query plan
+                        continue
+                    qbits = {t: 1 << i for i, t in enumerate(keys)}
+                    rows += [
+                        (
+                            qid,
+                            t,
+                            bm25_idf(self.n_docs, dfs[t]) * boosts[t],
+                            self.field_avg_dl[self._field_of(t)],
+                            qbits[t],
+                            False,
+                        )
+                        for t in scoring
+                    ]
+                    # negative-arm-only terms: weightless marker rows so
+                    # the match expression sees their bit in the doc's
+                    # mask (no BM25 mass — filtered out of the score sum)
+                    rows += [
+                        (
+                            qid,
+                            t,
+                            0.0,
+                            self.field_avg_dl[self._field_of(t)],
+                            qbits[t],
+                            True,
+                        )
+                        for t in sorted(set(keys) - set(boosts))
+                    ]
+                    tree_plans[qid] = (node, qbits)
+                    continue
+            parts.append(
+                self.search(node, k=k)
+                .withColumn("query_id", F.lit(qid))
+                .select("query_id", "doc_id", "score")
+            )
         k1, b = self.k1, self.b
         contrib = F.col("w") * (
             (F.col("tf") * F.lit(k1 + 1.0))
@@ -810,27 +862,32 @@ class IndexReader:
         scored_sets: list[DataFrame] = []
         if rows:
             # pandas-backed → one Arrow partition (see scored_matches)
-            wpdf = pd.DataFrame(
-                rows, columns=["query_id", "term", "w", "avgdl", "nt", "neg"]
-            )
-            wpdf["nt"] = wpdf["nt"].astype("Int32")  # nullable int for OR rows
             wdf = F.broadcast(
                 self.spark.createDataFrame(
-                    wpdf,
+                    pd.DataFrame(
+                        rows,
+                        columns=["query_id", "term", "w", "avgdl", "bit", "neg"],
+                    ),
                     "query_id string, term string, w double, avgdl double, "
-                    "nt int, neg boolean",
+                    "bit long, neg boolean",
                 )
             )
             union_terms = sorted({r[1] for r in rows})
-            # ONE groupBy carries both arms (no self-join, segments
-            # decode once): the score aggregates the positive elements
-            # of the term-ascending sorted struct list — filter()
-            # preserves sort order, so the float sum is bitwise the
-            # per-query expression — while the negative arm reduces to
-            # matched-count columns checked in the HAVING-style filter.
+            # ONE groupBy serves every term-only tree (no self-join,
+            # segments decode once): the score aggregates the positive
+            # elements of the term-ascending sorted struct list —
+            # filter() preserves sort order, so the float sum is bitwise
+            # the per-query expression — and the boolean tree evaluates
+            # as long bit-tests over the bit_or'd matched-term mask.
             sorted_all = F.array_sort(
                 F.collect_list(F.struct("term", "contrib", "neg"))
             )
+            match_expr = None
+            for qid, (node, qbits) in tree_plans.items():
+                e = (F.col("query_id") == qid) & _tree_expr(
+                    node, F.col("_mask"), qbits
+                )
+                match_expr = e if match_expr is None else (match_expr | e)
             per = (
                 self.postings_for(union_terms)
                 .join(wdf, "term")
@@ -842,30 +899,9 @@ class IndexReader:
                         F.lit(0.0),
                         lambda acc, x: acc + x["contrib"],
                     ).alias("score"),
-                    F.count(F.when(~F.col("neg"), F.lit(1))).alias("_nm"),
-                    F.first(
-                        F.when(~F.col("neg"), F.col("nt")), ignorenulls=True
-                    ).alias("_nt"),
-                    F.count(F.when(F.col("neg"), F.lit(1))).alias("_negm"),
-                    F.first(
-                        F.when(F.col("neg"), F.col("nt")), ignorenulls=True
-                    ).alias("_negt"),
+                    F.bit_or("bit").alias("_mask"),
                 )
-                # positive arm satisfied (any-of for OR, all-of for AND)...
-                .filter(
-                    (F.col("_nm") > 0)
-                    & (F.col("_nt").isNull() | (F.col("_nm") == F.col("_nt")))
-                )
-                # ...and the negative arm NOT satisfied
-                .filter(
-                    ~(
-                        (F.col("_negm") > 0)
-                        & (
-                            F.col("_negt").isNull()
-                            | (F.col("_negm") == F.col("_negt"))
-                        )
-                    )
-                )
+                .filter(match_expr)
             )
             scored_sets.append(per.select("query_id", "doc_id", "score"))
         if pos_rows:

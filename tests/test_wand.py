@@ -159,6 +159,23 @@ def test_search_many_matches_individual(reader):
     qs["not_neg_missing"] = P.Not(
         P.Term("w00050"), P.And((P.Term("w00002"), P.Term("zzz_not_there")))
     )
+    # REGRESSION: a NOT whose negative term appears in NO query's
+    # positive side must still subtract (the r5 flat-arm path silently
+    # skipped subtraction because negative terms were absent from the
+    # stats lookup built over positive terms only)
+    qs["not_standalone_neg"] = P.Not(P.Term("w00050"), P.Term("w00777"))
+    # nested term-only boolean trees ride the shared scan too
+    qs["tree_and_or"] = P.And(
+        (P.Or((P.Term("w00050"), P.Term("w01500"))),
+         P.Not(P.Term("w00007"), P.Term("w00222")))
+    )
+    qs["tree_or_and"] = P.Or(
+        (P.And((P.Term("w00002"), P.Term("w00010"))),
+         P.Not(P.Term("w00123"), P.And((P.Term("w00050"), P.Term("w00007")))))
+    )
+    qs["tree_absent_arm"] = P.And(
+        (P.Or((P.Term("w00050"), P.Term("zzz_not_there"))), P.Term("w00007"))
+    )
     # positional queries ride the second (positional) shared scan
     qs["phrase"] = P.Phrase(("quick", "brown", "fox"))
     qs["phrase_2"] = P.Phrase(("multi", "word", "sentenc"))
