@@ -226,14 +226,47 @@ class IndexReader:
             d = d.withColumn(name, make(d))
         return d
 
+    def _doc_field(self, field: str):
+        """Resolve a find-clause field name against the doc store:
+        ``(Column, is_variant)``. Backtick-escaped names are literal
+        column lookups; dotted names walk typed structs natively, or —
+        when the ROOT column is a schemaless-ingested VARIANT
+        (ingest.py) — walk via JSON paths (query/variant.py)."""
+        from .variant import v_path
+
+        dtypes = dict(self.docs_view().dtypes)
+        if field.startswith("`") and field.endswith("`"):
+            raw = field[1:-1].replace("``", "`")
+            return F.col(field), dtypes.get(raw) == "variant"
+        segs = field.split(".")
+        root = segs[0]
+        if dtypes.get(root) == "variant":
+            col = F.col(root)
+            if len(segs) > 1:
+                col = v_path(col, [("k", s) for s in segs[1:]])
+            return col, True
+        return F.col(field), False
+
     # -- field scoping ----------------------------------------------------------
     def _key(self, term: str, field: str | None = None) -> str:
         """Map (term, field) to its index key: bare on single-field
         indexes, ``field␟term`` on multi-field ones (the reference's
         keypath-scoped key, src/key_builder.rs:64-82)."""
         from ..index.build import scoped_term
+        from ..ingest import VARIANT_TEXT_SUFFIX
 
         f = field or self.default_field
+        if f != self.default_field and (
+            f not in self.field_avg_dl if self.scoped else True
+        ):
+            # a schemaless-ingested variant field is word-indexed via
+            # its `<f>__text` shadow column (ingest.py) — queries name
+            # the REAL field; resolve to the shadow transparently
+            shadow = f + VARIANT_TEXT_SUFFIX
+            if (self.scoped and shadow in self.field_avg_dl) or (
+                not self.scoped and shadow == self.default_field
+            ):
+                f = shadow
         if not self.scoped:
             if f != self.default_field:
                 raise ValueError(
@@ -423,30 +456,46 @@ class IndexReader:
         if isinstance(node, P.ExactMatch):
             return self._exact_match(node)
         if isinstance(node, P.FieldEq):
-            cond = (
-                F.col(node.field).isNull()
-                if node.value is None
-                else F.col(node.field) == F.lit(node.value)
-            )
+            c, isv = self._doc_field(node.field)
+            if isv:
+                from .variant import v_eq
+
+                cond = v_eq(c, node.value)
+            else:
+                cond = c.isNull() if node.value is None else c == F.lit(node.value)
             return self.docs_view().filter(cond).select("doc_id")
         if isinstance(node, P.FieldRange):
-            cond = F.lit(True)
-            c = F.col(node.field)
-            if node.lo is not None:
-                cond = cond & (c >= node.lo if node.lo_inclusive else c > node.lo)
-            if node.hi is not None:
-                cond = cond & (c <= node.hi if node.hi_inclusive else c < node.hi)
+            c, isv = self._doc_field(node.field)
+            if isv:
+                from .variant import v_range
+
+                cond = v_range(
+                    c, node.lo, node.hi, node.lo_inclusive, node.hi_inclusive
+                )
+            else:
+                cond = F.lit(True)
+                if node.lo is not None:
+                    cond = cond & (
+                        c >= node.lo if node.lo_inclusive else c > node.lo
+                    )
+                if node.hi is not None:
+                    cond = cond & (
+                        c <= node.hi if node.hi_inclusive else c < node.hi
+                    )
             return self.docs_view().filter(cond).select("doc_id")
         if isinstance(node, P.Bind):
             # exists(arr, pred): JVM-side higher-order function — matches
             # the reference's per-element probe (src/filters.rs:1068-1152)
-            # with zero explosion/shuffle
-            pred = P.bind_element_pred(node)
-            return (
-                self.docs_view()
-                .filter(F.exists(F.col(node.field), pred))
-                .select("doc_id")
-            )
+            # with zero explosion/shuffle. Variant fields (schemaless
+            # ingest) probe their JSON-array elements the same way.
+            c, isv = self._doc_field(node.field)
+            if isv:
+                from .variant import v_exists
+
+                cond = v_exists(c, node.cond)
+            else:
+                cond = F.exists(c, P.bind_element_pred(node))
+            return self.docs_view().filter(cond).select("doc_id")
         if isinstance(node, P.BboxOverlap):
             from ..datapipe.geo import bbox_overlap
 

@@ -629,7 +629,15 @@ class _Parser:
             raise ParseError(f"no terms in {val!r}")
         fld = None if fname == "text" else fname
         if window is not None:
-            return P.Proximity(terms, window=window, field=fld)
+            # the reference's ~N= counts words BETWEEN the matched
+            # terms: positions may differ by up to N+1
+            # (src/filters.rs:618-620 "distance is number of words
+            # between searched words. add one"; pinned by
+            # repl-tests/query_basic.noise ~1= "multi sentence" → doc 3,
+            # where the terms sit 2 positions apart). The engine's
+            # Proximity.window is the max POSITION difference, so the
+            # language surface translates N → N+1 here.
+            return P.Proximity(terms, window=window + 1, field=fld)
         if len(terms) == 1:
             return P.Term(terms[0], field=fld)
         return P.Phrase(terms, field=fld)
@@ -994,15 +1002,19 @@ def _path_elem_fn(rest, F):
     return lambda e: _apply_path(e, rest, F)
 
 
-def _bind_column(ret, F, binds: dict):
+def _bind_column(ret, F, binds: dict, variant_cols: frozenset = frozenset()):
     """The matched elements of a bind variable, always an array
     (src/returnable.rs:348-402); same-name binds merge: OR the element
     predicates per field, concatenate across fields
     (repl-tests/bind_var.noise:40-45). A dotted sub-path projects each
-    matched element. Shared by ``return x`` and bind aggregates."""
+    matched element. Shared by ``return x`` and bind aggregates.
+    VARIANT fields (schemaless ingest) filter their JSON-array elements
+    through the variant condition lowering instead."""
+    from . import variant as V
+
     by_field: dict[str, list] = {}
     for b in binds[ret.name]:
-        by_field.setdefault(b.field, []).append(P.bind_element_pred(b))
+        by_field.setdefault(b.field, []).append(b.cond)
     # NB: higher-order-function lambdas must be UNARY — pyspark
     # dispatches on arity (a second param means (element, index)),
     # so no default-arg closure tricks here
@@ -1018,16 +1030,44 @@ def _bind_column(ret, F, binds: dict):
     def _get(seg):
         return lambda e: e[seg]
 
-    arrs = [
-        F.filter(F.col(fld), _or_preds(preds)) for fld, preds in by_field.items()
-    ]
+    def _vget(seg):
+        return lambda e: F.try_variant_get(e, f"$.{seg}", "variant")
+
+    arrs = []
+    is_v = []
+    for fld, conds in by_field.items():
+        if _unescape_col(fld) in variant_cols:
+            arrs.append(
+                F.coalesce(
+                    F.filter(
+                        V.v_elements(F.col(_escape_col(fld))),
+                        _or_preds([V.v_cond_pred(c) for c in conds]),
+                    ),
+                    F.expr("cast(array() as array<variant>)"),
+                )
+            )
+            is_v.append(True)
+        else:
+            arrs.append(
+                F.filter(F.col(fld), _or_preds([P._cond_pred(c) for c in conds]))
+            )
+            is_v.append(False)
     col = arrs[0] if len(arrs) == 1 else F.concat(*arrs)
+    variant_elems = any(is_v)
     for seg in ret.path:  # x.v → project each matched element
-        col = F.transform(col, _get(seg))
+        col = F.transform(col, _vget(seg) if variant_elems else _get(seg))
     return col
 
 
-def _ret_column(ret, F, available: set, binds: dict | None = None, doc_cols: tuple = ()):
+def _ret_column(
+    ret,
+    F,
+    available: set,
+    binds: dict | None = None,
+    doc_cols: tuple = (),
+    variant_cols: frozenset = frozenset(),
+    id_col: str = "doc_id",
+):
     binds = binds or {}
     if isinstance(ret, RetWholeDoc):
         # nested whole-doc (`return {d: .}`): a struct of the doc-store
@@ -1038,13 +1078,24 @@ def _ret_column(ret, F, available: set, binds: dict | None = None, doc_cols: tup
             *[F.col(_escape_col(c)).alias(c) for c in doc_cols if c != "doc_id"],
         )
     if isinstance(ret, RetPath):
-        name = "doc_id" if ret.path == "_id" else ret.path
+        name = id_col if ret.path == "_id" else ret.path
         if name not in available:
             if isinstance(ret, RetPath) and ret.has_default:
                 return F.lit(ret.default)
             raise ParseError(f"unknown return field .{ret.path}")
         # root is a LITERAL column name (possibly containing dots via
         # `.["a.b"]` quoting); nesting goes through `rest` segments
+        if _unescape_col(name) in variant_cols:
+            from .variant import v_path
+
+            col = v_path(F.col(_escape_col(name)), ret.rest)
+            if ret.has_default:
+                # a variant default must stay variant: parse the JSON
+                # rendering of the literal (null-vs-missing faithful)
+                col = F.coalesce(
+                    col, F.parse_json(F.lit(json.dumps(ret.default)))
+                )
+            return col
         col = _apply_path(F.col(_escape_col(name)), ret.rest, F)
         if ret.has_default:
             col = F.coalesce(col, F.lit(ret.default))
@@ -1052,7 +1103,7 @@ def _ret_column(ret, F, available: set, binds: dict | None = None, doc_cols: tup
     if isinstance(ret, RetScore):
         return F.col("score")
     if isinstance(ret, RetBind):
-        col = _bind_column(ret, F, binds)
+        col = _bind_column(ret, F, binds, variant_cols)
         if ret.has_default:
             col = F.when(F.size(col) > 0, col).otherwise(
                 F.array(F.lit(ret.default))
@@ -1065,7 +1116,9 @@ def _ret_column(ret, F, available: set, binds: dict | None = None, doc_cols: tup
     if isinstance(ret, RetObject):
         return F.struct(
             *[
-                _ret_column(r, F, available, binds, doc_cols).alias(k)
+                _ret_column(
+                    r, F, available, binds, doc_cols, variant_cols, id_col
+                ).alias(k)
                 for k, r in ret.items
             ]
         )
@@ -1075,7 +1128,11 @@ def _ret_column(ret, F, available: set, binds: dict | None = None, doc_cols: tup
         # elements rather than let Spark coerce to one numeric type
         return F.array(
             *[
-                _ret_column(r, F, available, binds, doc_cols).cast("string")
+                _ret_column(
+                    r, F, available, binds, doc_cols, variant_cols, id_col
+                ).cast(
+                    "string"
+                )
                 for r in ret.items
             ]
         )
@@ -1091,6 +1148,8 @@ def run_query(reader, text: str, params: dict | None = None, default_k: int = 10
     set is binary and ordered by the order clause (default: doc_id,
     the reference's seq order)."""
     from pyspark.sql import functions as F
+
+    from ..ingest import FULLDOC_COL
 
     spec = parse_query(text, params, analyzer=getattr(reader, "analyzer", "porter"))
     if any(isinstance(r, RetAgg) for r in _ret_leaves(spec.ret)):
@@ -1118,6 +1177,13 @@ def run_query(reader, text: str, params: dict | None = None, default_k: int = 10
     ret_fields: set = set()
     _collect_ret_fields(spec.ret, ret_fields, spec.binds)
     docs = reader.docs_view() if hasattr(reader, "docs_view") else reader.docs
+    # schemaless-ingested indexes (ingest.py: the `_doc` variant column
+    # is present) surface the reference's STRING `_id` — which is our
+    # `url` column; typed webtext indexes keep the numeric doc_id
+    doc_col_names = docs.columns if hasattr(docs, "columns") else ()
+    id_col = "url" if FULLDOC_COL in doc_col_names else "doc_id"
+    if id_col == "url" and (spec.ret is None or _ret_uses_id(spec.ret)):
+        ret_fields.add("url")
     # bare `return .` = the whole STORED document: every reader.docs
     # column (not docs_view — virtual fields are derived, not part of
     # the doc the user added)
@@ -1148,10 +1214,24 @@ def run_query(reader, text: str, params: dict | None = None, default_k: int = 10
             "left",
         )
 
+    variant_cols = frozenset(n for n, dt in docs.dtypes if dt == "variant")
     order_cols = []
     for o in spec.orders:
         if o.kind == "score":
             col = F.col("score")
+        elif o.name in variant_cols:
+            # cross-type collation over a schemaless (variant) order
+            # key: the order-preserving byte encoding of the JSON value
+            # (query/collation.py — null < bool < number < string <
+            # array < object, the reference's json_value.rs order)
+            from .variant import v_order_key, v_path
+
+            vcol = v_path(F.col(_escape_col(o.name)), o.rest)
+            if o.has_default:
+                vcol = F.coalesce(
+                    vcol, F.parse_json(F.lit(json.dumps(o.default)))
+                )
+            col = v_order_key(vcol)
         else:
             col = _apply_path(F.col(_escape_col(o.name)), o.rest, F)
             if o.has_default:
@@ -1171,7 +1251,7 @@ def run_query(reader, text: str, params: dict | None = None, default_k: int = 10
 
     available = set(out.columns) | {"doc_id"}
     if spec.ret is None:
-        return out.select("doc_id")
+        return out.select(id_col)
     if isinstance(spec.ret, RetWholeDoc):
         # top-level `return .` → one column per doc-store column,
         # doc_id (our `_id`) first — the whole document, column-shaped
@@ -1189,12 +1269,16 @@ def run_query(reader, text: str, params: dict | None = None, default_k: int = 10
         # rows (src/returnable.rs:119-160); nested objects stay structs
         return out.select(
             *[
-                _ret_column(r, F, available, spec.binds, wholedoc_cols).alias(k)
+                _ret_column(
+                    r, F, available, spec.binds, wholedoc_cols, variant_cols, id_col
+                ).alias(k)
                 for k, r in spec.ret.items
             ]
         )
     return out.select(
-        _ret_column(spec.ret, F, available, spec.binds, wholedoc_cols).alias("result")
+        _ret_column(
+            spec.ret, F, available, spec.binds, wholedoc_cols, variant_cols, id_col
+        ).alias("result")
     )
 
 
@@ -1211,6 +1295,58 @@ def _coalesce_fn(F, default):
     return lambda e: F.coalesce(e, F.lit(default))
 
 
+def _variant_agg(a: "RetAgg", v, F, ordered_collect):
+    """One aggregate over a VARIANT value column — JSON semantics
+    (src/aggregates.rs): sum/avg deep-flatten nested number arrays,
+    min/max compare whole values in collation order, min_array /
+    max_array take the collation extreme over deep-flattened elements
+    (an input with NO elements leaves the reference's init value, the
+    empty array — group.noise:254-260), array/array_flat/concat
+    collect (reverse doc order when ungrouped, via ordered_collect).
+    The per-doc projection is an Arrow-batched pandas_udf over the
+    JSON text; the cross-doc reduction stays a JVM aggregate
+    (sum / min_by / max_by on binary collation keys)."""
+    from .collation import collation_key
+    from .variant import vjson_extreme_elem, vjson_flat_elems, vjson_flat_numbers
+
+    js = F.to_json(v)
+    if a.fn in ("sum", "avg"):
+        nums = vjson_flat_numbers()(js)
+        tot = F.sum(F.aggregate(nums, F.lit(0.0), lambda acc, x: acc + x))
+        if a.fn == "sum":
+            return F.coalesce(tot, F.lit(0.0))
+        n = F.sum(F.size(nums))
+        return F.when(n > 0, tot / n)
+    if a.fn in ("min", "max"):
+        # null (missing) values never win: they sort below/above
+        # everything via sentinel keys, and an all-null group yields null
+        key = F.when(js.isNotNull(), collation_key(js)).otherwise(
+            F.lit(bytes([0])) if a.fn == "max" else F.lit(bytes([255]))
+        )
+        pick = F.max_by(js, key) if a.fn == "max" else F.min_by(js, key)
+        return F.parse_json(pick)
+    if a.fn in ("min_array", "max_array"):
+        maximize = a.fn == "max_array"
+        elem = vjson_extreme_elem(maximize)(js)
+        key = F.when(elem.isNotNull(), collation_key(elem)).otherwise(
+            F.lit(bytes([0])) if maximize else F.lit(bytes([255]))
+        )
+        pick = F.max_by(elem, key) if maximize else F.min_by(elem, key)
+        return F.parse_json(F.coalesce(pick, F.lit("[]")))
+    if a.fn == "array":
+        coll = F.filter(ordered_collect(js), _notnull)
+        return F.transform(coll, lambda e: F.parse_json(e))
+    if a.fn == "array_flat":
+        coll = F.flatten(F.filter(ordered_collect(vjson_flat_elems()(js)), _notnull))
+        return F.transform(coll, lambda e: F.parse_json(e))
+    if a.fn == "concat":
+        coll = F.flatten(F.filter(ordered_collect(vjson_flat_elems()(js)), _notnull))
+        return F.array_join(
+            F.transform(coll, lambda e: F.parse_json(e).cast("string")), a.sep
+        )
+    raise ParseError(f"unknown aggregate {a.fn!r}")  # pragma: no cover
+
+
 def _run_aggregate_query(reader, spec: QuerySpec, F):
     """Lower a return-clause aggregation (repl-tests/group.noise) to ONE
     groupBy over the match set joined to the doc store: group() paths
@@ -1219,8 +1355,14 @@ def _run_aggregate_query(reader, spec: QuerySpec, F):
     keys in their declared directions (the reference's GroupAsc /
     GroupDesc); ``limit`` applies to the grouped rows. Collected
     aggregates (array / array_flat / concat) order elements by doc_id
-    for determinism (the reference collects in its own seq order — an
-    insertion-order artifact, not a semantic guarantee)."""
+    for determinism — DESCENDING when there is no group clause: the
+    reference's ungrouped aggregates consume the match buffer by
+    popping from its back (src/query.rs do_ordering_and_ags), i.e.
+    reverse seq order, pinned by group.noise:187 (``array(.baz)``
+    lists the later doc first). VARIANT inputs (schemaless ingest)
+    aggregate with JSON semantics: sum/avg over deeply-flattened
+    numbers, min/max/min_array/max_array by collation order, group()
+    by collation key (query/variant.py helpers)."""
     from pyspark.sql import types as T
 
     leaves = _ret_leaves(spec.ret)
@@ -1256,11 +1398,13 @@ def _run_aggregate_query(reader, spec: QuerySpec, F):
         "left",
     )
 
+    variant_cols = frozenset(n for n, dt in docs.dtypes if dt == "variant")
+
     def value_expr(a: RetAgg):
         if a.bind is not None:
             # the bind's matched elements (an array per doc); the
             # flatten-aware aggregate machinery below reduces it
-            col = _bind_column(a.bind, F, spec.binds)
+            col = _bind_column(a.bind, F, spec.binds, variant_cols)
             if a.has_default:
                 # default= fills missing values BEFORE aggregation —
                 # for a bind that means per ELEMENT (a sub-path absent
@@ -1271,6 +1415,13 @@ def _run_aggregate_query(reader, spec: QuerySpec, F):
             col = F.col("doc_id")
         elif a.path.path not in doc_cols:
             return F.lit(a.default)  # has_default guaranteed above
+        elif a.path.path in variant_cols:
+            from .variant import v_path
+
+            col = v_path(F.col(_escape_col(a.path.path)), a.path.rest)
+            if a.has_default:
+                col = F.coalesce(col, F.parse_json(F.lit(json.dumps(a.default))))
+            return col
         else:
             col = _apply_path(F.col(_escape_col(a.path.path)), a.path.rest, F)
         if a.has_default:
@@ -1292,19 +1443,42 @@ def _run_aggregate_query(reader, spec: QuerySpec, F):
             expr = F.filter(expr, _notnull)
         return expr, dt
 
+    group_items = [(k, a) for k, a in named if a.fn == "group"]
+
     def ordered_collect(expr):
         # deterministic element order: collect (doc_id, v) structs, sort
         # by doc_id, project v back out — collect_list alone is
-        # partition-order-dependent (and drops nulls; structs don't)
+        # partition-order-dependent (and drops nulls; structs don't).
+        # Ungrouped queries collect doc_id-DESCENDING: the reference
+        # pops its (seq-ordered) match buffer from the back
+        # (src/query.rs do_ordering_and_ags; group.noise:187).
         pairs = F.array_sort(
             F.collect_list(F.struct(F.col("doc_id").alias("_d"), expr.alias("_v")))
         )
+        if not group_items:
+            pairs = F.reverse(pairs)
         return F.transform(pairs, lambda x: x["_v"])
 
-    group_items = [(k, a) for k, a in named if a.fn == "group"]
-    gcols = [value_expr(a).alias(f"_g{i}") for i, (k, a) in enumerate(group_items)]
+    def _ck(js_expr):
+        from .collation import collation_key
 
-    agg_exprs = []
+        return collation_key(js_expr)
+
+    gcols = []
+    gvariant: dict[int, object] = {}  # slot -> variant value expr
+    for i, (k, a) in enumerate(group_items):
+        ge = value_expr(a)
+        if isinstance(dtype_of(ge), T.VariantType):
+            # group a dynamic value by its COLLATION KEY (binary,
+            # orderable, cross-type — json_value.rs order); the
+            # rendered value itself is carried as a first() aggregate
+            js = F.coalesce(F.to_json(ge), F.lit("null"))
+            gcols.append(_ck(js).alias(f"_g{i}"))
+            gvariant[i] = F.parse_json(F.first(js)).alias(f"_gv{i}")
+        else:
+            gcols.append(ge.alias(f"_g{i}"))
+
+    agg_exprs = [e for _, e in sorted(gvariant.items())]
     for k, a in named:
         if a.fn == "group":
             continue
@@ -1313,6 +1487,9 @@ def _run_aggregate_query(reader, spec: QuerySpec, F):
             continue
         v = value_expr(a)
         dt = dtype_of(v)
+        if isinstance(dt, T.VariantType):
+            agg_exprs.append(_variant_agg(a, v, F, ordered_collect).alias(k))
+            continue
         is_arr = isinstance(dt, T.ArrayType)
         if is_arr:
             v, dt = flat_array(v, dt)
@@ -1374,9 +1551,13 @@ def _run_aggregate_query(reader, spec: QuerySpec, F):
             for i, (k, a) in enumerate(group_items)
         ]
         out = out.orderBy(*order_cols)
-        # surface the group keys under their return names
+        # surface the group keys under their return names (variant
+        # groups surface the carried first() value, not the binary key)
         for i, (k, a) in enumerate(group_items):
-            out = out.withColumnRenamed(f"_g{i}", k)
+            if i in gvariant:
+                out = out.drop(f"_g{i}").withColumnRenamed(f"_gv{i}", k)
+            else:
+                out = out.withColumnRenamed(f"_g{i}", k)
     else:
         out = joined.agg(*agg_exprs)
     out = out.select(*[k for k, _ in named])
@@ -1435,6 +1616,16 @@ def _ret_uses_score(ret) -> bool:
         return any(_ret_uses_score(r) for _, r in ret.items)
     if isinstance(ret, RetArray):
         return any(_ret_uses_score(r) for r in ret.items)
+    return False
+
+
+def _ret_uses_id(ret) -> bool:
+    if isinstance(ret, RetPath):
+        return ret.path == "_id"
+    if isinstance(ret, RetObject):
+        return any(_ret_uses_id(r) for _, r in ret.items)
+    if isinstance(ret, RetArray):
+        return any(_ret_uses_id(r) for r in ret.items)
     return False
 
 

@@ -1,0 +1,308 @@
+"""VARIANT-column query lowering — the schemaless half of the engine.
+
+The reference shreds arbitrary JSON per document and discovers keypaths
+at write time (``/root/reference/src/json_shred.rs:485-576``), so one
+field may hold a string in one doc and an array of objects in the next
+(``repl-tests/query_basic.noise`` doc set). Spark's typed columns can't
+carry that, but Spark 4's VARIANT type can: :mod:`noise_spark.ingest`
+stores type-conflicted fields as variant, and this module lowers the
+query language's predicates / paths / order keys onto them with
+JVM-side expressions only (``schema_of_variant`` / ``try_variant_get``
+/ ``try_cast(.. as array<variant>)`` + higher-order functions) — no
+Python UDF in any match path, so whole-stage codegen keeps working and
+the plans scale exactly like the typed lowering.
+
+Type fidelity follows the reference's JSON value semantics
+(``src/json_value.rs``): ``== "1"`` matches only the STRING ``"1"``,
+``== 1`` only numbers, ranges only numbers; equality of booleans and
+null is type-guarded the same way. Cross-type ORDER over a variant
+column reuses :func:`noise_spark.query.collation.collation_key` over
+``to_json`` — the reference's collation total order.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "is_variant_dtype",
+    "v_eq",
+    "v_ne",
+    "v_range",
+    "v_path",
+    "v_elements",
+    "v_cond_pred",
+    "v_order_key",
+    "v_text",
+]
+
+_NUM_SCHEMAS = ("BIGINT", "DOUBLE", "FLOAT", "INT", "SMALLINT", "TINYINT")
+
+
+def is_variant_dtype(dtype: str) -> bool:
+    """True for a DataFrame.dtypes entry of a variant column."""
+    return dtype == "variant"
+
+
+def _is_num(sch: Column) -> Column:
+    return sch.isin(*_NUM_SCHEMAS) | sch.startswith("DECIMAL")
+
+
+def v_eq(col: Column, value) -> Column:
+    """Type-guarded JSON equality on a variant value (never-null).
+
+    ``None`` matches the JSON null (``is_variant_null``), NOT a missing
+    field (SQL NULL) — the reference distinguishes a stored null from
+    an absent keypath (src/key_builder.rs N-key vs no key)."""
+    if value is None:
+        return F.coalesce(F.is_variant_null(col), F.lit(False))
+    sch = F.schema_of_variant(col)
+    if isinstance(value, bool):
+        got = F.try_variant_get(col, "$", "boolean")
+        guard = sch == "BOOLEAN"
+    elif isinstance(value, (int, float)):
+        got = F.try_variant_get(col, "$", "double")
+        guard = _is_num(sch)
+        value = float(value)
+    elif isinstance(value, str):
+        got = F.try_variant_get(col, "$", "string")
+        guard = sch == "STRING"
+    else:  # pragma: no cover - parser only produces scalars
+        raise TypeError(f"unsupported equality literal {value!r}")
+    return F.coalesce(guard & (got == F.lit(value)), F.lit(False))
+
+
+def v_ne(col: Column, value) -> Column:
+    """``!=`` — the value EXISTS and is not (JSON-)equal: a number is
+    ``!= "word"``, but a missing field matches nothing (the reference
+    scans the stored keyspace, so only present values can differ)."""
+    return col.isNotNull() & ~v_eq(col, value)
+
+
+def v_range(col: Column, lo=None, hi=None, lo_inclusive=True, hi_inclusive=True) -> Column:
+    """Numeric range — only JSON numbers participate (the reference's
+    ``f``-number keyspace, src/filters.rs:379-501: booleans/strings
+    never match a number range)."""
+    x = F.try_variant_get(col, "$", "double")
+    cond = _is_num(F.schema_of_variant(col))
+    if lo is not None:
+        lo = float(lo)
+        cond = cond & (x >= lo if lo_inclusive else x > lo)
+    if hi is not None:
+        hi = float(hi)
+        cond = cond & (x <= hi if hi_inclusive else x < hi)
+    return F.coalesce(cond, F.lit(False))
+
+
+def v_path(col: Column, segs) -> Column:
+    """Walk return/order keypath segments over a variant: object key →
+    ``$.key``, index → ``$[i]`` (out-of-bounds → NULL, the reference's
+    missing-path semantics), array-all ``[]`` → per-element walk of the
+    rest. Result stays variant (render with ``to_json`` or collect as
+    VariantVal)."""
+    for i, s in enumerate(segs):
+        if s[0] == "*":
+            rest = segs[i + 1 :]
+            if not rest:
+                return col
+            return F.transform(v_elements(col), _elem_fn(rest))
+        if s[0] == "i":
+            col = F.try_variant_get(col, f"$[{int(s[1])}]", "variant")
+        else:
+            col = F.try_variant_get(col, f"$.{s[1]}", "variant")
+    return col
+
+
+def _elem_fn(rest):
+    # unary on purpose: pyspark HOF lambdas dispatch on arity
+    return lambda e: v_path(e, rest)
+
+
+def v_elements(col: Column) -> Column:
+    """The element array of a variant that holds a JSON array; NULL for
+    scalars/objects (so ``exists`` over it is NULL → coalesce at the
+    call site). try_cast, not cast: never an ANSI error."""
+    return col.try_cast("array<variant>")
+
+
+def v_cond_pred(cond: tuple):
+    """Variant mirror of :func:`noise_spark.query.plan._cond_pred` —
+    the element-condition tree of array filters / bind variables
+    (("cmp", key, op, value) / ("or"|"and", l, r) / ("arr", key,
+    inner)) as a Column→Column lambda over VARIANT elements."""
+    tag = cond[0]
+    if tag in ("or", "and"):
+        lp, rp = v_cond_pred(cond[1]), v_cond_pred(cond[2])
+        return (lambda e: lp(e) | rp(e)) if tag == "or" else (lambda e: lp(e) & rp(e))
+    if tag == "arr":
+        _, key, inner = cond
+        ip = v_cond_pred(inner)
+        return lambda e: F.coalesce(
+            F.exists(v_elements(F.try_variant_get(e, f"$.{key}", "variant")), ip),
+            F.lit(False),
+        )
+    _, key, op, v = cond
+
+    def pred(e):
+        t = e if key is None else F.try_variant_get(e, f"$.{key}", "variant")
+        if op == "==":
+            return v_eq(t, v)
+        if op == "!=":
+            return v_ne(t, v)
+        lo_ops = {">": (v, None, False, True), ">=": (v, None, True, True)}
+        hi_ops = {"<": (None, v, True, False), "<=": (None, v, True, True)}
+        if op in lo_ops or op in hi_ops:
+            lo, hi, li, hin = (lo_ops | hi_ops)[op]
+            return v_range(t, lo, hi, li, hin)
+        raise ValueError(f"unsupported element operator {op!r}")
+
+    return pred
+
+
+def v_exists(col: Column, cond: tuple) -> Column:
+    """Array-filter match over a variant field: ANY element of the JSON
+    array satisfies the condition (same-element semantics for object
+    conditions, like the typed Bind lowering). Non-arrays match
+    nothing."""
+    return F.coalesce(F.exists(v_elements(col), v_cond_pred(cond)), F.lit(False))
+
+
+def v_matching_elements(col: Column, cond: tuple) -> Column:
+    """``filter()`` of the element array by the condition — the bind
+    capture surface (``return x``), variant edition."""
+    return F.coalesce(
+        F.filter(v_elements(col), v_cond_pred(cond)),
+        F.array().cast("array<variant>"),
+    )
+
+
+def v_order_key(col: Column) -> Column:
+    """Cross-type collation sort key for a variant order key: the
+    order-preserving byte encoding of the JSON value
+    (:func:`noise_spark.query.collation.collation_key` over
+    ``to_json``). A missing field (SQL NULL) encodes as JSON null —
+    the collation floor, matching the reference's absent-key order."""
+    from .collation import collation_key
+
+    return collation_key(F.coalesce(F.to_json(col), F.lit("null")))
+
+
+def v_text(col: Column) -> Column:
+    """The DIRECT text content of a variant field as array<string> —
+    what the full-text index sees: the value itself when it is a JSON
+    string, its string elements (in order) when it is an array. Nested
+    object text belongs to deeper keypaths (the reference scopes word
+    keys by exact keypath, src/key_builder.rs:64-82) and is not
+    included."""
+    sch = F.schema_of_variant(col)
+    return F.when(
+        sch == "STRING", F.array(F.try_variant_get(col, "$", "string"))
+    ).when(
+        sch.startswith("ARRAY"),
+        F.filter(
+            F.transform(
+                v_elements(col),
+                lambda e: F.when(
+                    F.schema_of_variant(e) == "STRING",
+                    F.try_variant_get(e, "$", "string"),
+                ),
+            ),
+            _notnull,
+        ),
+    )
+
+
+def _notnull(x):
+    return x.isNotNull()
+
+
+# -- aggregation prep ---------------------------------------------------------
+# The return-clause aggregates (group.noise:180-260) reduce DYNAMIC
+# values: sum/avg walk deeply-nested number arrays, min_array/max_array
+# take the collation extreme over deep-flattened elements, min/max
+# compare whole values cross-type. Static Spark expressions can't walk
+# unknown depth, so the PER-DOC projection is one Arrow-batched
+# pandas_udf over the JSON rendering (the reference walks JsonValue
+# trees per doc the same way, src/aggregates.rs) — the AGGREGATION
+# itself stays a distributed JVM groupBy (sum / min_by over binary
+# collation keys), so the plan scales like any other agg.
+
+
+def _deep_scalars(v, out: list) -> None:
+    if isinstance(v, list):
+        for x in v:
+            _deep_scalars(x, out)
+    else:
+        out.append(v)
+
+
+def _flat_numbers_one(s):
+    if s is None:
+        return None
+    flat: list = []
+    _deep_scalars(json.loads(s), flat)
+    return [
+        float(x)
+        for x in flat
+        if isinstance(x, (int, float)) and not isinstance(x, bool)
+    ]
+
+
+def vjson_flat_numbers():
+    """array<double> of every number found when deep-flattening the
+    JSON value (a scalar number counts; booleans/strings don't)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def f(js):
+        return js.map(_flat_numbers_one)
+
+    return f
+
+
+def vjson_extreme_elem(maximize: bool):
+    """The collation-extreme DEEP-FLATTENED element of the JSON value,
+    as JSON text (None when there are no elements — e.g. an empty
+    array, matching the reference's untouched init value)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .collation import encode_value
+
+    def one(s):
+        if s is None:
+            return None
+        flat: list = []
+        _deep_scalars(json.loads(s), flat)
+        if not flat:
+            return None
+        pick = (max if maximize else min)(flat, key=encode_value)
+        return json.dumps(pick)
+
+    @pandas_udf("string")
+    def f(js):
+        return js.map(one)
+
+    return f
+
+
+def _flat_elems_one(s):
+    if s is None:
+        return None
+    flat: list = []
+    _deep_scalars(json.loads(s), flat)
+    return [json.dumps(x) for x in flat]
+
+
+def vjson_flat_elems():
+    """Every deep-flattened element of the JSON value, as an
+    array of JSON-text elements (array_flat over a variant)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def f(js):
+        return js.map(_flat_elems_one)
+
+    return f

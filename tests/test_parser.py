@@ -49,8 +49,10 @@ def test_parse_single_word():
 def test_parse_phrase_and_proximity():
     spec = parse_query('find {text: ~= "broadcast joins"}', analyzer="whitespace")
     assert spec.node == P.Phrase(("broadcast", "joins"))
+    # ~N= counts words BETWEEN the terms (src/filters.rs:618-620), so
+    # the engine-level max position difference is N+1
     spec = parse_query('find {text: ~3= "shuffle data"}', analyzer="whitespace")
-    assert spec.node == P.Proximity(("shuffle", "data"), window=3)
+    assert spec.node == P.Proximity(("shuffle", "data"), window=4)
 
 
 def test_parse_boolean_tree_with_parens():
@@ -429,8 +431,10 @@ def test_bind_aggregates_execute(spark, tmp_path_factory):
     row = out[0]
     assert row["n"] == 2
     assert row["s"] == 4.0  # 1 (doc 1's foo) + 3 (doc 2's baz)
-    assert row["c"] == "foo|baz"  # elements in doc_id order
-    assert list(row["f"]) == [1, 3]
+    # ungrouped collects run reverse doc order (reference pops its
+    # seq-ordered buffer from the back, src/query.rs; group.noise:187)
+    assert row["c"] == "baz|foo"
+    assert list(row["f"]) == [3, 1]
     # grouped: per-text group, bind sum within each group
     grouped = run_query(
         r,
@@ -446,9 +450,9 @@ def test_bind_aggregates_execute(spark, tmp_path_factory):
         'find {bar: x::[{a: == "foo" || a: == "baz"}]} '
         'return {c: concat(x.a sep="|"), f: array_flat(x.)}',
     ).collect()[0]
-    assert row["c"] == "foo|baz"
+    assert row["c"] == "baz|foo"  # ungrouped collects: reverse doc order
     # array_flat(x.) flattens the whole matched elements across docs
-    assert [e["a"] for e in row["f"]] == ["foo", "baz"]
+    assert [e["a"] for e in row["f"]] == ["baz", "foo"]
 
 
 def test_bind_aggregate_bare_dot_with_kwarg_parses():
@@ -800,12 +804,14 @@ def test_aggregate_arrays_and_defaults(agg_reader):
 
 
 def test_aggregate_global_and_ordering_rules(agg_reader):
-    # no group() → one global row; concat orders by doc_id
+    # no group() → one global row; UNGROUPED collects run reverse doc
+    # order (the reference pops its seq-ordered buffer from the back,
+    # src/query.rs do_ordering_and_ags; pinned by group.noise:187)
     row = run_query(
         agg_reader,
         'find {text: ~= "agg"} return concat(.baz sep="|")',
     ).collect()[0]
-    assert row["result"] == "a|b"  # null baz skipped by array_join
+    assert row["result"] == "b|a"  # null baz skipped by array_join
     # grouped rows order by group keys in declared directions; limit after
     rows = run_query(
         agg_reader,
@@ -887,7 +893,8 @@ def test_aggregate_null_hygiene_and_edge_legality(agg_reader):
     row = run_query(
         agg_reader, 'find {text: ~= "agg"} return array(.baz)'
     ).collect()[0]
-    assert list(row["result"]) == ["a", "b"]
+    # reverse doc order: ungrouped collect pops from the buffer's back
+    assert list(row["result"]) == ["b", "a"]
     # all-group return → distinct groups, no empty-agg crash
     rows = run_query(
         agg_reader, 'find {text: ~= "agg"} return {b: group(.bar)}'
@@ -930,4 +937,5 @@ def test_aggregate_null_array_elements(spark, tmp_path):
         'find {text: ~= "nn"} return {s: sum(.vals), a: avg(.vals), f: array_flat(.vals)}',
     ).collect()[0]
     assert row["s"] == 3.0 and row["a"] == 1.5
-    assert list(row["f"]) == [1, 2]
+    # ungrouped array_flat collects docs in reverse seq order
+    assert list(row["f"]) == [2, 1]
