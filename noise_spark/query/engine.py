@@ -226,6 +226,10 @@ class IndexReader:
             d = d.withColumn(name, make(d))
         return d
 
+    def _empty_match(self) -> DataFrame:
+        """Zero-row DataFrame[doc_id] — the unknown-keypath match set."""
+        return self.docs.select("doc_id").filter(F.lit(False))
+
     def _doc_field(self, field: str):
         """Resolve a find-clause field name against the doc store:
         ``(Column, is_variant)``. Backtick-escaped names are literal
@@ -237,9 +241,16 @@ class IndexReader:
         dtypes = dict(self.docs_view().dtypes)
         if field.startswith("`") and field.endswith("`"):
             raw = field[1:-1].replace("``", "`")
+            if raw not in dtypes:
+                return None, False
             return F.col(field), dtypes.get(raw) == "variant"
         segs = field.split(".")
         root = segs[0]
+        if root not in dtypes:
+            # an unknown keypath in a find clause matches NOTHING (the
+            # reference scans an empty keyspace — ranges.noise:239-247
+            # `NotAField: ==50` contributes zero matches, no error)
+            return None, False
         if dtypes.get(root) == "variant":
             col = F.col(root)
             if len(segs) > 1:
@@ -457,6 +468,8 @@ class IndexReader:
             return self._exact_match(node)
         if isinstance(node, P.FieldEq):
             c, isv = self._doc_field(node.field)
+            if c is None:
+                return self._empty_match()
             if isv:
                 from .variant import v_eq
 
@@ -466,6 +479,8 @@ class IndexReader:
             return self.docs_view().filter(cond).select("doc_id")
         if isinstance(node, P.FieldRange):
             c, isv = self._doc_field(node.field)
+            if c is None:
+                return self._empty_match()
             if isv:
                 from .variant import v_range
 
@@ -489,6 +504,8 @@ class IndexReader:
             # with zero explosion/shuffle. Variant fields (schemaless
             # ingest) probe their JSON-array elements the same way.
             c, isv = self._doc_field(node.field)
+            if c is None:
+                return self._empty_match()
             if isv:
                 from .variant import v_exists
 

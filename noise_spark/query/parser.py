@@ -242,6 +242,7 @@ class _Parser:
         self.params = params or {}
         self.analyzer = analyzer
         self.binds: dict[str, list] = {}  # name -> [P.Bind, ...] (same-name merge)
+        self._last_param = None  # name of the most recent @param literal
 
     # -- token helpers --------------------------------------------------------
     def peek(self):
@@ -276,13 +277,17 @@ class _Parser:
     # -- json-ish literals ----------------------------------------------------
     def literal(self):
         kind, v = self.peek()
+        self._last_param = None
         if v == "@":
+            # reference error texts: src/parser.rs parameter handling,
+            # pinned by repl-tests/parameters.noise:269-284
             self.next()
             k2, name = self.next()
             if k2 != "word":
-                raise ParseError("expected parameter name after '@'")
+                raise ParseError("No parameter name after @.")
             if name not in self.params:
-                raise ParseError(f"unbound parameter @{name}")
+                raise ParseError(f"No matching parameter for @{name}.")
+            self._last_param = name
             return self.params[name]
         if kind == "string":
             self.next()
@@ -294,10 +299,32 @@ class _Parser:
             self.next()
             return {"true": True, "false": False, "null": None}[v]
         if v == "{":
-            # literal empty object only (reference: return {} literals)
+            # full JSON object literal ({} and {k: v, ...} — the
+            # reference's default= values, query_basic.noise:205)
             self.next()
+            obj = {}
+            while self.peek()[1] != "}":
+                kk, key = self.next()
+                if kk == "string":
+                    key = json.loads(key)
+                elif kk != "word":
+                    raise ParseError(f"expected an object key, got {key!r}")
+                self.expect(":")
+                obj[key] = self.literal()
+                if not self.accept(","):
+                    break
             self.expect("}")
-            return {}
+            return obj
+        if v == "[":
+            # JSON array literal
+            self.next()
+            arr = []
+            while self.peek()[1] != "]":
+                arr.append(self.literal())
+                if not self.accept(","):
+                    break
+            self.expect("]")
+            return arr
         if v == "[":
             self.next()
             self.expect("]")
@@ -549,7 +576,12 @@ class _Parser:
             self.next()
             val = self.literal()
             if not isinstance(val, (int, float)) or isinstance(val, bool):
-                raise ParseError(f"range operator {op} needs a number, got {val!r}")
+                # reference error text (src/filters.rs range lowering;
+                # repl-tests/parameters.noise:273-274)
+                raise ParseError(
+                    "Range operator on non-number JSON types "
+                    "is not yet implemented!"
+                )
             if op == ">":
                 return self._boost(P.FieldRange(fname, lo=val, lo_inclusive=False))
             if op == ">=":
@@ -621,6 +653,10 @@ class _Parser:
 
     def _word_clause(self, fname: str, val, window: int | None) -> P.Node:
         if not isinstance(val, str):
+            # reference: a non-string parameter in a word match names
+            # the parameter (parameters.noise:277-278)
+            if getattr(self, "_last_param", None):
+                raise ParseError(f"Parameter @{self._last_param} must be a string.")
             raise ParseError("word match (~=) needs a string")
         from ..analysis.tokenizer import analyze
 
@@ -987,7 +1023,11 @@ def _apply_path(col, segs, F):
             rest = segs[i + 1 :]
             if not rest:
                 return col
-            return F.transform(col, _path_elem_fn(rest, F))
+            # elements where the remaining path is ABSENT drop out (the
+            # reference skips missing keypaths per element rather than
+            # emitting nulls — query_basic.noise:269 `.a[].b[].c` over
+            # partially-present c yields [[2],[4,5,6]])
+            return F.filter(F.transform(col, _path_elem_fn(rest, F)), _notnull)
         if s[0] == "i":
             # F.get, not getItem: an out-of-bounds index is NULL (the
             # reference's missing-path semantics), never an ANSI error
@@ -1059,6 +1099,15 @@ def _bind_column(ret, F, binds: dict, variant_cols: frozenset = frozenset()):
     return col
 
 
+def _default_lit(F, v):
+    """A default= value as a Column: scalars are plain literals,
+    objects/arrays become variant (parse_json) — F.lit can't encode
+    them, and variant renders back as the JSON value."""
+    if isinstance(v, (dict, list)):
+        return F.parse_json(F.lit(json.dumps(v)))
+    return F.lit(v)
+
+
 def _ret_column(
     ret,
     F,
@@ -1080,9 +1129,10 @@ def _ret_column(
     if isinstance(ret, RetPath):
         name = id_col if ret.path == "_id" else ret.path
         if name not in available:
-            if isinstance(ret, RetPath) and ret.has_default:
-                return F.lit(ret.default)
-            raise ParseError(f"unknown return field .{ret.path}")
+            # an unknown keypath renders as its default, else null —
+            # never an error (the reference fills `default` / null for
+            # absent keypaths: returnable.rs:298, query_basic.noise:197)
+            return _default_lit(F, ret.default if ret.has_default else None)
         # root is a LITERAL column name (possibly containing dots via
         # `.["a.b"]` quoting); nesting goes through `rest` segments
         if _unescape_col(name) in variant_cols:
@@ -1098,7 +1148,7 @@ def _ret_column(
             return col
         col = _apply_path(F.col(_escape_col(name)), ret.rest, F)
         if ret.has_default:
-            col = F.coalesce(col, F.lit(ret.default))
+            col = F.coalesce(col, _default_lit(F, ret.default))
         return col
     if isinstance(ret, RetScore):
         return F.col("score")
@@ -1155,7 +1205,7 @@ def run_query(reader, text: str, params: dict | None = None, default_k: int = 10
     if any(isinstance(r, RetAgg) for r in _ret_leaves(spec.ret)):
         return _run_aggregate_query(reader, spec, F)
     wants_score = any(o.kind == "score" for o in spec.orders) or _ret_uses_score(spec.ret)
-    limit = spec.limit or default_k
+    limit = spec.limit or default_k  # default_k=None → no implicit top-k
 
     if wants_score:
         # the engine's top-k is score-DESCENDING; fetching only k rows is
@@ -1166,7 +1216,7 @@ def run_query(reader, text: str, params: dict | None = None, default_k: int = 10
         # UNORDERED scored match set so the order clause below plans ONE
         # small TakeOrdered on it (a huge-k query() here would plan a
         # full descending sort barrier first, then re-sort).
-        if _score_primary_desc(spec):
+        if limit is not None and _score_primary_desc(spec):
             base = reader.query(spec.node, k=limit)
         else:
             base = reader.scored_matches(spec.node)
@@ -1182,8 +1232,6 @@ def run_query(reader, text: str, params: dict | None = None, default_k: int = 10
     # `url` column; typed webtext indexes keep the numeric doc_id
     doc_col_names = docs.columns if hasattr(docs, "columns") else ()
     id_col = "url" if FULLDOC_COL in doc_col_names else "doc_id"
-    if id_col == "url" and (spec.ret is None or _ret_uses_id(spec.ret)):
-        ret_fields.add("url")
     # bare `return .` = the whole STORED document: every reader.docs
     # column (not docs_view — virtual fields are derived, not part of
     # the doc the user added)
@@ -1193,17 +1241,25 @@ def run_query(reader, text: str, params: dict | None = None, default_k: int = 10
             reader.docs.columns if hasattr(reader, "docs") else docs.columns
         )
         ret_fields |= set(wholedoc_cols)
+    # default ordering surface: FILTERED finds iterate the reference's
+    # seq (insertion) order — our doc_id — but the all-docs scan
+    # (find {}) walks the primary-key space, i.e. STRING id order
+    # (query_basic.noise:294-311 lists "1","10","11",…,"2" while
+    # ranges.noise:57 lists filtered matches in insertion order)
+    seq_col = (
+        "url" if id_col == "url" and isinstance(spec.node, P.AllDocs) else "doc_id"
+    )
+    if id_col == "url":
+        ret_fields.add("url")  # the string-id surface (`._id`, ret-None)
     need_fields = (order_fields | ret_fields) - {"doc_id"}  # always present
     order_fields = order_fields - {"doc_id"}
     docs_cols = set(docs.columns) if need_fields else set()
     join_cols = sorted(f for f in need_fields if f in docs_cols and f != "doc_id")
     missing = need_fields - set(join_cols)
-    if missing & order_fields:
-        raise ParseError(f"unknown order field(s): {sorted(missing & order_fields)}")
-    if missing:
-        # a missing RETURN path is only legal with a default= (the
-        # reference fills `default` for absent keypaths, returnable.rs:298)
-        _check_missing_ok(spec.ret, missing)
+    # unknown keypaths are never errors: a missing ORDER key compares
+    # as null / its default=, a missing RETURN path renders as null /
+    # its default= (returnable.rs:298; collation.noise:136 orders an
+    # empty match set by fields that exist nowhere)
     if join_cols:
         # select by LITERAL name (a doc column may contain dots)
         base = base.join(
@@ -1219,6 +1275,10 @@ def run_query(reader, text: str, params: dict | None = None, default_k: int = 10
     for o in spec.orders:
         if o.kind == "score":
             col = F.col("score")
+        elif o.name in missing:
+            # unknown order keypath: every row compares equal (its
+            # default= when given, else null)
+            col = _default_lit(F, o.default if o.has_default else None)
         elif o.name in variant_cols:
             # cross-type collation over a schemaless (variant) order
             # key: the order-preserving byte encoding of the JSON value
@@ -1240,13 +1300,23 @@ def run_query(reader, text: str, params: dict | None = None, default_k: int = 10
                 col = F.coalesce(col, F.lit(o.default))
         order_cols.append(col.asc() if o.asc else col.desc())
     if not order_cols:
-        order_cols = [F.desc("score"), F.asc("doc_id")] if wants_score else [F.asc("doc_id")]
+        order_cols = (
+            [F.desc("score"), F.asc(seq_col)]
+            if wants_score
+            else [F.asc(seq_col)]
+        )
+    elif wants_score and seq_col == "url":
+        # score-ordered ties on the all-docs scan break by the id
+        # string DESCENDING: the reference's stable sort + back-popped
+        # buffer emits equal-score rows in reverse id order
+        # (query_basic.noise:314 `order score()` lists "9","8",…)
+        order_cols.append(F.desc(seq_col))
     else:
-        order_cols.append(F.asc("doc_id"))  # deterministic tie-break
+        order_cols.append(F.asc(seq_col))  # deterministic tie-break
     out = base.orderBy(*order_cols)
     if spec.limit is not None:
         out = out.limit(spec.limit)
-    elif wants_score:
+    elif wants_score and default_k is not None:
         out = out.limit(default_k)
 
     available = set(out.columns) | {"doc_id"}
@@ -1385,8 +1455,8 @@ def _run_aggregate_query(reader, spec: QuerySpec, F):
                 if _unescape_col(b.field) in doc_cols
             }
         elif a.path is not None and a.path.path != "_id":
-            if a.path.path not in doc_cols and not a.has_default:
-                raise ParseError(f"unknown return field .{a.path.path}")
+            # unknown keypaths aggregate their default= (else nulls) —
+            # never an error (returnable.rs:298)
             if a.path.path in doc_cols:
                 roots.add(a.path.path)
     base = reader._match_set(spec.node)
@@ -1414,7 +1484,7 @@ def _run_aggregate_query(reader, spec: QuerySpec, F):
         if a.path is None or a.path.path == "_id":
             col = F.col("doc_id")
         elif a.path.path not in doc_cols:
-            return F.lit(a.default)  # has_default guaranteed above
+            return _default_lit(F, a.default if a.has_default else None)
         elif a.path.path in variant_cols:
             from .variant import v_path
 
@@ -1619,16 +1689,6 @@ def _ret_uses_score(ret) -> bool:
     return False
 
 
-def _ret_uses_id(ret) -> bool:
-    if isinstance(ret, RetPath):
-        return ret.path == "_id"
-    if isinstance(ret, RetObject):
-        return any(_ret_uses_id(r) for _, r in ret.items)
-    if isinstance(ret, RetArray):
-        return any(_ret_uses_id(r) for r in ret.items)
-    return False
-
-
 def _collect_ret_fields(ret, out: set, binds: dict | None = None):
     binds = binds or {}
     if isinstance(ret, RetPath) and ret.path != "_id":
@@ -1646,19 +1706,3 @@ def _collect_ret_fields(ret, out: set, binds: dict | None = None):
             _collect_ret_fields(r, out, binds)
 
 
-def _check_missing_ok(ret, missing: set):
-    bad = set()
-
-    def walk(r):
-        if isinstance(r, RetPath) and r.path in missing and not r.has_default:
-            bad.add(r.path)
-        elif isinstance(r, RetObject):
-            for _, x in r.items:
-                walk(x)
-        elif isinstance(r, RetArray):
-            for x in r.items:
-                walk(x)
-
-    walk(ret)
-    if bad:
-        raise ParseError(f"unknown return field(s): {sorted(bad)}")

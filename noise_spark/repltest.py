@@ -102,6 +102,11 @@ class ReplaySession:
 
     def __init__(self, spark, workdir: str | None = None, analyzer: str = "porter"):
         self.spark = spark
+        # the reference's keypaths are case-sensitive (`a` and `A` are
+        # different keys — query_basic.noise:256 adds both); Spark's
+        # default resolver is not
+        self._case_was = spark.conf.get("spark.sql.caseSensitive", "false")
+        spark.conf.set("spark.sql.caseSensitive", "true")
         self.workdir = workdir or tempfile.mkdtemp(prefix="noise_replay_")
         self.analyzer = analyzer
         self.open = False
@@ -245,11 +250,18 @@ class ReplaySession:
     def do_find(self, text: str) -> list:
         from .query.parser import parse_query, run_query
 
+        # find implicitly commits the write batch: the reference's del
+        # of a just-added doc errors ONLY when no query ran in between
+        # (deletion_updates.noise:20 vs ranges.noise:41 — same shape,
+        # different outcome, the find between is the difference)
+        self.do_commit()
+        params, self.params = self.params, None  # params apply to ONE query
         reader = self.reader()
         if reader is None:
             return []
-        spec = parse_query(text, self.params, analyzer=self.analyzer)
-        df = run_query(reader, text, params=self.params)
+        spec = parse_query(text, params, analyzer=self.analyzer)
+        # the reference REPL has no implicit top-k: default_k=None
+        df = run_query(reader, text, params=params, default_k=None)
         rows = df.collect()
         return [_render_row(r, spec, df.columns) for r in rows]
 
@@ -301,8 +313,14 @@ def _render_value(v):
 
 def _render_row(row, spec, columns):
     """One result row → the reference's JSON value for that row."""
-    from .query.parser import RetObject
+    from .ingest import FULLDOC_COL
+    from .query.parser import RetObject, RetWholeDoc
 
+    if isinstance(spec.ret, RetWholeDoc) and FULLDOC_COL in columns:
+        # `return .` on a schemaless index: the whole original document
+        # IS the _doc variant (null-vs-missing faithful); _id is url
+        doc = _render_value(row[FULLDOC_COL])
+        return doc
     vals = [_render_value(row[c]) for c in columns]
     if spec.ret is None:
         return vals[0]  # the id column
@@ -412,6 +430,7 @@ def replay(spark, path: str, skip: dict | None = None, analyzer: str = "porter")
                     )
                 )
     finally:
+        spark.conf.set("spark.sql.caseSensitive", sess._case_was)
         shutil.rmtree(sess.workdir, ignore_errors=True)
     return results
 

@@ -25,7 +25,58 @@ def outcomes(spark, name, skip=None):
     return rs, bad
 
 
+def _assert_parity(spark, name, n_stmts, skip=None):
+    rs, bad = outcomes(spark, name, skip)
+    assert not bad, [
+        f"L{r.line} {r.outcome}: {r.text[:60]} {r.detail[:150]}" for r in bad
+    ]
+    assert len(rs) == n_stmts
+
+
 def test_group_transcript_full_parity(spark):
-    rs, bad = outcomes(spark, "group.noise")
-    assert not bad, [f"L{r.line} {r.outcome}: {r.text[:60]} {r.detail[:120]}" for r in bad]
-    assert len(rs) == 65
+    _assert_parity(spark, "group.noise", 65)
+
+
+def test_query_basic_transcript_full_parity(spark):
+    _assert_parity(spark, "query_basic.noise", 66)
+
+
+def test_collation_transcript_full_parity(spark):
+    _assert_parity(spark, "collation.noise", 35)
+
+
+def test_parameters_transcript_full_parity(spark):
+    _assert_parity(spark, "parameters.noise", 91)
+
+
+def test_deletion_updates_transcript_full_parity(spark):
+    _assert_parity(spark, "deletion_updates.noise", 17)
+
+
+def test_bind_var_transcript_full_parity(spark):
+    _assert_parity(spark, "bind_var.noise", 12)
+
+
+def test_ranges_transcript_parity(spark):
+    # L239: `return score()` raw value — this engine scores BM25 where
+    # the reference scores normalized TF-IDF (deliberate north-star
+    # replacement); the match SET is verified by the unskipped twin
+    # statements around it
+    _assert_parity(
+        spark,
+        "ranges.noise",
+        51,
+        skip={239: "score VALUE: BM25 replaces the reference's TF-IDF"},
+    )
+
+
+def test_limit_transcript_parity(spark):
+    # L59: order .A over equal keys — the reference's tie order is a
+    # sort-buffer artifact (its own limit-1 twin at L66 returns a
+    # DIFFERENT doc than L59's first row), not a semantic guarantee
+    _assert_parity(
+        spark,
+        "limit.noise",
+        20,
+        skip={59: "tie order among equal sort keys is unstable in the reference"},
+    )
