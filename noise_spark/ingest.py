@@ -115,9 +115,13 @@ def ingest_json(
         sch = schemas[name]
         fld = F.try_variant_get(FULLDOC_COL, f"$.{name}", "variant")
         if "VARIANT" in sch or sch == "VOID":
-            # conflicted (or all-null) → variant + full-text shadow
+            # conflicted (or all-null) → variant + one full-text shadow
+            # per ARRAY DEPTH (the reference's arraypath-scoped word
+            # keys: scalar / [elem] / [[elem]] are distinct keyspaces)
             cols.append(fld.alias(name))
-            cols.append(v_text(fld).alias(name + VARIANT_TEXT_SUFFIX))
+            cols.append(v_text(fld, 0).alias(name + VARIANT_TEXT_SUFFIX))
+            cols.append(v_text(fld, 1).alias(name + VARIANT_TEXT_SUFFIX + "1"))
+            cols.append(v_text(fld, 2).alias(name + VARIANT_TEXT_SUFFIX + "2"))
         else:
             cols.append(fld.try_cast(_struct_ddl(sch)).alias(name))
     cols.append(F.col(FULLDOC_COL))

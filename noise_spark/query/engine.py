@@ -226,6 +226,139 @@ class IndexReader:
             d = d.withColumn(name, make(d))
         return d
 
+    def _elem_word_match(self, node) -> DataFrame:
+        """Element-scoped word conditions (P.ElemWord / P.ElemWordAll —
+        the reference's stemmed filters inside array clauses with
+        same-element semantics, not.noise:50-152). Candidates come
+        from a bucket-pruned INDEX prefilter on the tree's positive
+        terms at the depth-scoped shadow field (no positive terms —
+        all-negated trees — fall back to field-present docs); the
+        same-element boolean then verifies in ONE Arrow-batched pass
+        over the stored field value, the candidates+verify shape the
+        phrase path uses. Scale: verify touches only prefiltered docs,
+        and the tokenizer cost is per candidate element, not per
+        corpus."""
+        from pyspark.sql.functions import pandas_udf
+
+        from ..ingest import VARIANT_TEXT_SUFFIX
+
+        c, _ = self._doc_field(node.field)
+        if c is None:
+            return self._empty_match()
+        is_all = isinstance(node, P.ElemWordAll)
+        depth = 2 if is_all else node.depth
+        tree = node.tree
+        dv = self.docs_view()
+        pos: list[tuple] = []
+
+        def walk(t, neg=False):
+            if t[0] == "word":
+                if not neg:
+                    pos.append((t[1], t[2]))
+            elif t[0] in ("wand", "wor"):
+                walk(t[1], neg)
+                walk(t[2], neg)
+            else:
+                walk(t[1], not neg)
+
+        walk(tree)
+        keys: set[str] = set()
+        if pos:
+            shadow = f"{node.field}{VARIANT_TEXT_SUFFIX}{depth}"
+            try:
+                for terms, _w in pos:
+                    keys |= {self._key(t, shadow) for t in terms}
+            except ValueError:
+                keys = set()  # typed corpus without depth shadows
+        if keys:
+            cand = self.postings_for(sorted(keys)).select("doc_id").distinct()
+            dv = dv.join(cand, "doc_id", "left_semi")
+        else:
+            dv = dv.filter(c.isNotNull())
+
+        analyzer = self.analyzer
+
+        def make_udf():
+            import json as _json
+
+            from ..analysis.tokenizer import analyze
+
+            def toks_of(x):
+                if isinstance(x, str):
+                    return [t for _, t in analyze(x, analyzer)]
+                return None
+
+            def word_hit(toks, terms, window):
+                if toks is None:
+                    return False
+                if len(terms) == 1 and window is None:
+                    return terms[0] in toks
+                positions = {t: [i for i, w in enumerate(toks) if w == t] for t in terms}
+                if any(not p for p in positions.values()):
+                    return False
+                if window is None:  # phrase: consecutive run
+                    n = len(terms)
+                    return any(
+                        toks[i : i + n] == list(terms)
+                        for i in range(len(toks) - n + 1)
+                    )
+                # proximity: some choice of one position per term spans <= window
+                tagged = sorted(
+                    (p, t) for t, ps in positions.items() for p in ps
+                )
+                need = set(terms)
+                lo = 0
+                seen: dict = {}
+                for hi in range(len(tagged)):
+                    seen[tagged[hi][1]] = seen.get(tagged[hi][1], 0) + 1
+                    while tagged[hi][0] - tagged[lo][0] > window:
+                        seen[tagged[lo][1]] -= 1
+                        if not seen[tagged[lo][1]]:
+                            del seen[tagged[lo][1]]
+                        lo += 1
+                    if len(seen) == len(need):
+                        return True
+                return False
+
+            def ev(t, toks):
+                if t[0] == "word":
+                    return word_hit(toks, t[1], t[2])
+                if t[0] == "wand":
+                    return ev(t[1], toks) and ev(t[2], toks)
+                if t[0] == "wor":
+                    return ev(t[1], toks) or ev(t[2], toks)
+                return not ev(t[1], toks)
+
+            def doc_match(js):
+                if js is None:
+                    return False
+                v = _json.loads(js)
+                if not isinstance(v, list):
+                    return False
+                if is_all:
+                    # ∀ depth-1 element (must be a non-empty array set):
+                    # each is an array with a matching depth-2 element
+                    return bool(v) and all(
+                        isinstance(o, list)
+                        and any(ev(tree, toks_of(i)) for i in o)
+                        for o in v
+                    )
+                if depth == 2:
+                    return any(
+                        isinstance(o, list)
+                        and any(ev(tree, toks_of(i)) for i in o)
+                        for o in v
+                    )
+                return any(ev(tree, toks_of(e)) for e in v)
+
+            @pandas_udf("boolean")
+            def f(js):
+                return js.map(doc_match)
+
+            return f
+
+        return dv.filter(make_udf()(F.to_json(c))).select("doc_id")
+
     def _empty_match(self) -> DataFrame:
         """Zero-row DataFrame[doc_id] — the unknown-keypath match set."""
         return self.docs.select("doc_id").filter(F.lit(False))
@@ -286,6 +419,13 @@ class IndexReader:
                 )
             return term
         if f not in self.field_avg_dl:
+            if VARIANT_TEXT_SUFFIX in f:
+                # a shadow of an UNKNOWN schemaless field: an unknown
+                # keypath matches nothing in the reference, so return
+                # the (dead) scoped key — the postings lookup finds no
+                # bucket and the match set is empty, no error
+                # (not.noise:105 `missing: ![~="fox"]`)
+                return scoped_term(f, term)
             raise ValueError(f"field {f!r} not indexed (have {self.fields})")
         return scoped_term(f, term)
 
@@ -513,18 +653,27 @@ class IndexReader:
             else:
                 cond = F.exists(c, P.bind_element_pred(node))
             return self.docs_view().filter(cond).select("doc_id")
+        if isinstance(node, (P.ElemWord, P.ElemWordAll)):
+            return self._elem_word_match(node)
         if isinstance(node, P.BboxOverlap):
-            from ..datapipe.geo import bbox_overlap
+            c, isv = self._doc_field(node.field)
+            if c is None:
+                return self._empty_match()
+            if isv:
+                # dynamic GeoJSON geometry (schemaless ingest): bbox
+                # from the JSON-rendered coordinate content
+                from .variant import bbox_overlap_json
 
-            return (
-                self.docs_view()
-                .filter(
-                    bbox_overlap(
-                        F.col(node.field), node.west, node.south, node.east, node.north
-                    )
+                cond = bbox_overlap_json(
+                    c, node.west, node.south, node.east, node.north
                 )
-                .select("doc_id")
-            )
+            else:
+                from ..datapipe.geo import bbox_overlap
+
+                cond = bbox_overlap(
+                    c, node.west, node.south, node.east, node.north
+                )
+            return self.docs_view().filter(cond).select("doc_id")
         if isinstance(node, P.AllDocs):
             return self.docs.select("doc_id")
         raise TypeError(type(node))
@@ -662,7 +811,7 @@ class IndexReader:
         binary 1.0 like the reference (src/filters.rs:363-368, 487-492);
         any plan containing scoring terms ranks by BM25 with the filters
         shaping the candidate set."""
-        if isinstance(node, (P.ExactMatch, P.FieldEq, P.FieldRange, P.AllDocs, P.Bind, P.BboxOverlap)) or not self._term_boosts(node):
+        if isinstance(node, (P.ExactMatch, P.FieldEq, P.FieldRange, P.AllDocs, P.Bind, P.BboxOverlap, P.ElemWord, P.ElemWordAll)) or not self._term_boosts(node):
             return self._match_set(node).withColumn("score", F.lit(1.0))
         boosts = self._term_boosts(node)
         terms = sorted(boosts)

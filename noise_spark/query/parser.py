@@ -507,11 +507,53 @@ class _Parser:
             # (src/parser.rs:1070-1080, query_basic.noise:44-97):
             # match when ANY element satisfies, same-element semantics
             # for object conditions. Same machinery as bind variables,
-            # minus the capture (no return surface).
+            # minus the capture (no return surface). WORD matches
+            # inside the brackets ({a: [~="w" && !~="v"]}, single or
+            # double-nested — not.noise:50-152 / scoring.noise:145-196)
+            # parse as an element-word tree instead.
             self.next()
-            cond = self._bind_cond()
+            nk, nv = self.peek()
+            if nv in ("(", "!", "~=") or nk == "prox":
+                tree = self._elem_word_tree()
+                self.expect("]")
+                return self._boost(self._lower_elem_word(fname, tree, depth=1))
+            if nv == "[":
+                # {a: [[ ... ]]}: elements of NESTED arrays — word
+                # trees or comparison conditions (not.noise:113-140)
+                self.next()
+                nk2, nv2 = self.peek()
+                if nv2 in ("(", "!", "~=") or nk2 == "prox":
+                    tree = self._elem_word_tree()
+                    self.expect("]")
+                    self.expect("]")
+                    return self._boost(
+                        self._lower_elem_word(fname, tree, depth=2)
+                    )
+                inner = self._bind_cond(fname)
+                self.expect("]")
+                self.expect("]")
+                return self._boost(P.Bind("", fname, ("arr", None, inner)))
+            cond = self._bind_cond(fname)
             self.expect("]")
             return self._boost(P.Bind("", fname, cond))
+        if op == "!" and self.toks[self.i + 1][1] == "[":
+            # negated array clause {a: ![<word tree>]} — complement of
+            # the array condition (not.noise:63,83: a missing field
+            # satisfies the negation)
+            self.next()
+            self.next()
+            tree = self._elem_word_tree()
+            self.expect("]")
+            return _Negated(self._lower_elem_word(fname, tree, depth=1))
+        if op == "!" and (
+            self.toks[self.i + 1][1] == "~="
+            or self.toks[self.i + 1][0] == "prox"
+        ):
+            # negated scalar word match {f: !~="w"} (not.noise:32-47)
+            self.next()
+            k2, op2 = self.next()
+            window = int(op2[1:-1]) if k2 == "prox" else None
+            return _Negated(self._word_clause(fname, self.literal(), window))
         # bind variable: field: name::[<elem condition>]
         # (src/parser.rs:1054-1068, src/filters.rs:1068-1152)
         if (
@@ -523,7 +565,7 @@ class _Parser:
             self.expect(":")
             self.expect(":")
             self.expect("[")
-            cond = self._bind_cond()
+            cond = self._bind_cond(fname)
             self.expect("]")
             node = P.Bind(name, fname, cond)
             # same-name binds across ||/&& arms MERGE their matched
@@ -559,18 +601,10 @@ class _Parser:
             return _Negated(P.FieldEq(fname, val))
         if op == "&&":
             # geo bbox overlap: {g: && [W, S, E, N]} (src/parser.rs bbox,
-            # src/filters.rs:503-586); field = a bbox struct column
+            # src/filters.rs:503-586); field = a bbox struct column or
+            # a dynamic GeoJSON geometry (variant)
             self.next()
-            self.expect("[")
-            coords = [self.literal()]
-            while self.accept(","):
-                coords.append(self.literal())
-            self.expect("]")
-            if len(coords) != 4 or not all(
-                isinstance(c, (int, float)) and not isinstance(c, bool) for c in coords
-            ):
-                raise ParseError("bbox needs [west, south, east, north] numbers")
-            w_, s_, e_, n_ = (float(c) for c in coords)
+            w_, s_, e_, n_ = self._parse_bbox()
             return self._boost(P.BboxOverlap(fname, w_, s_, e_, n_))
         if op in (">", "<", ">=", "<="):
             self.next()
@@ -591,19 +625,139 @@ class _Parser:
             return self._boost(P.FieldRange(fname, hi=val))
         raise ParseError(f"expected a comparison operator, got {op!r}")
 
-    def _bind_cond(self) -> tuple:
+    def _parse_bbox(self) -> tuple:
+        """``[W, S, E, N]`` after ``&&`` — reference error texts
+        (geojson.noise:48-74): wrong token → character-offset error,
+        wrong shape/types → the bounding-box message."""
+        k, v = self.peek()
+        if v != "[":
+            start = self.starts[self.i] if self.starts else 0
+            found = v[0] if v else "EOF"
+            raise ParseError(f"Expected '[' at character {start}, found {found}.")
+        coords = self.literal()
+        if (
+            not isinstance(coords, list)
+            or len(coords) != 4
+            or not all(
+                isinstance(c, (int, float)) and not isinstance(c, bool)
+                for c in coords
+            )
+        ):
+            raise ParseError("Bounding box needs to be `[west, south, east, north]`.")
+        return tuple(float(c) for c in coords)
+
+    def _elem_word_tree(self) -> tuple:
+        """Boolean tree of word matches inside an array condition —
+        right-recursive at equal precedence like the reference's
+        abool (``(~="fox" || ~="brown") && !~="quick"``)."""
+        left = self._elem_word_term()
+        nxt = self.peek()[1]
+        if nxt in ("||", "&&"):
+            self.next()
+            return ("wor" if nxt == "||" else "wand", left, self._elem_word_tree())
+        return left
+
+    def _elem_word_term(self) -> tuple:
+        k, v = self.peek()
+        if v == "!":
+            self.next()
+            return ("wnot", self._elem_word_term())
+        if v == "(":
+            self.next()
+            t = self._elem_word_tree()
+            self.expect(")")
+            return t
+        window = None
+        if k == "prox":
+            self.next()
+            window = int(v[1:-1]) + 1  # ~N= words-between → position diff
+        elif v == "~=":
+            self.next()
+        else:
+            raise ParseError(f"expected a word match inside [...], got {v!r}")
+        val = self.literal()
+        if not isinstance(val, str):
+            if self._last_param:
+                raise ParseError(f"Parameter @{self._last_param} must be a string.")
+            raise ParseError("word match (~=) needs a string")
+        from ..analysis.tokenizer import analyze
+
+        terms = tuple(t for _, t in analyze(val, self.analyzer))
+        if not terms:
+            raise ParseError(f"no terms in {val!r}")
+        return ("word", terms, window)
+
+    def _lower_elem_word(self, fname: str, tree: tuple, depth: int) -> P.Node:
+        """Element-word condition → plan. The depth-scoped shadow field
+        (``f__text1`` / ``f__text2``, ingest.py) carries exactly the
+        text the reference's arraypath-scoped word keys would hold, so
+        a PURE-POSITIVE tree rewrites to plain Term/Phrase/Or/And on
+        that field — index-only and scored, no verify step (exists-any
+        over elements ≡ doc-level match on the flattened field).
+        Trees with negation need same-element semantics →
+        P.ElemWord / P.ElemWordAll (engine-verified)."""
+        from ..ingest import VARIANT_TEXT_SUFFIX
+
+        fld = f"{fname}{VARIANT_TEXT_SUFFIX}{depth}"  # f__text1 / f__text2
+
+        def pure(t) -> bool:
+            if t[0] == "word":
+                return True
+            if t[0] in ("wand", "wor"):
+                return pure(t[1]) and pure(t[2])
+            return False
+
+        def to_plan(t) -> P.Node:
+            if t[0] == "word":
+                terms, window = t[1], t[2]
+                if window is not None:
+                    return P.Proximity(terms, window=window, field=fld)
+                if len(terms) > 1:
+                    return P.Phrase(terms, field=fld)
+                return P.Term(terms[0], field=fld)
+            l, r = to_plan(t[1]), to_plan(t[2])
+            return _combine(P.Or if t[0] == "wor" else P.And, l, r)
+
+        if pure(tree):
+            if tree[0] == "word" or tree[0] == "wor":
+                return to_plan(tree)
+            # a pure AND still needs same-element verification (one
+            # element must hold ALL terms) — fall through
+        if depth == 2 and tree[0] == "wnot" and pure(tree[1]):
+            # {f: [[!W]]} complements "every depth-1 array has a
+            # W-matching depth-2 element" (not.noise:113-131: missing
+            # fields and flat arrays all satisfy the negation)
+            return _Negated(P.ElemWordAll(fname, tree[1]))
+        return P.ElemWord(fname, tree, depth)
+
+    def _bind_cond(self, fname: str | None = None) -> tuple:
         """Element condition inside bind ``[...]`` — either a bare
         comparison (scalar arrays, ``x::[== 3]``) or an object condition
         over element fields with ``||``/``&&`` combos
         (``x::[{a: == "foo" || a: == "bar"}]`` —
         repl-tests/bind_var.noise:22-37). Right-recursive at equal
-        precedence, like the reference's obool (parser.rs:732-746)."""
+        precedence, like the reference's obool (parser.rs:732-746).
+        ``fname`` (the clause's array field) lets NESTED bind
+        declarations register their capture root."""
         _CMP = ("==", "!=", ">", ">=", "<", "<=")
         if self.peek()[1] == "{":
             self.next()
-            cond = self._bind_obj_cond(_CMP)
+            cond = self._bind_obj_cond(_CMP, fname)
             self.expect("}")
+            # a comma-separated SEQUENCE of object conditions is a
+            # same-element conjunction: [{geometry: && ...},
+            # {geometry: {type: == "Point"}}] (geojson.noise:42)
+            while self.accept(","):
+                self.expect("{")
+                right = self._bind_obj_cond(_CMP, fname)
+                self.expect("}")
+                cond = ("and", cond, right)
             return cond
+        if self.peek()[1] == "&&":
+            # anonymous geo condition [&& [W,S,E,N]] — each element IS
+            # a geometry (geojson.noise:81-93)
+            self.next()
+            return ("bbox", None, self._parse_bbox())
         return self._bind_scalar_cond(_CMP)
 
     def _bind_scalar_cond(self, _CMP) -> tuple:
@@ -622,7 +776,7 @@ class _Parser:
             return ("or" if nxt == "||" else "and", left, self._bind_scalar_cond(_CMP))
         return left
 
-    def _bind_obj_cond(self, _CMP) -> tuple:
+    def _bind_obj_cond(self, _CMP, fname: str | None = None) -> tuple:
         k, key = self.next()
         if k == "string":
             key = json.loads(key)
@@ -633,9 +787,40 @@ class _Parser:
             # nested array condition on an element field:
             # {A: [{C: [{D: == "D"}]}]}  (query_basic.noise:39)
             self.next()
-            inner = self._bind_cond()
+            inner = self._bind_cond(fname)
             self.expect("]")
             left = ("arr", key, inner)
+        elif self.peek()[1] == "&&":
+            # geo condition on an element field: [{geom: && [W,S,E,N]}]
+            # (geojson.noise:119, 44)
+            self.next()
+            left = ("bbox", key, self._parse_bbox())
+        elif self.peek()[1] == "{":
+            # nested object condition on an element field:
+            # [{geometry: {type: == "Point"}}] — sub-field sugar
+            self.next()
+            inner = self._bind_obj_cond(_CMP, fname)
+            self.expect("}")
+            left = ("obj", key, inner)
+        elif (
+            self.peek()[0] == "word"
+            and self.toks[self.i + 1][1] == ":"
+            and self.toks[self.i + 2][1] == ":"
+        ):
+            # NESTED bind on an element's array field:
+            # {array: [{area: second::[{geom: && ...}]}]} — the bind
+            # captures the INNER matched elements (geojson.noise:127);
+            # the match itself is the plain nested-array condition
+            name = self.next()[1]
+            self.expect(":")
+            self.expect(":")
+            self.expect("[")
+            inner = self._bind_cond(fname)
+            self.expect("]")
+            left = ("arr", key, inner)
+            if fname is not None:
+                node = P.Bind(name, fname, ("bindarr", key, inner))
+                self.binds.setdefault(name, []).append(node)
         else:
             eop = self.peek()[1]
             if eop not in _CMP:
@@ -1042,6 +1227,22 @@ def _path_elem_fn(rest, F):
     return lambda e: _apply_path(e, rest, F)
 
 
+def _nested_cap(key, ip, F):
+    # UNARY lambda factories — pyspark HOF dispatch is arity-based
+    def f(o):
+        return F.filter(o if key is None else o[key], ip)
+
+    return f
+
+
+def _nested_cap_v(key, ip, V, F):
+    def f(o):
+        t = o if key is None else F.try_variant_get(o, f"$.{key}", "variant")
+        return F.filter(V.v_elements(t), ip)
+
+    return f
+
+
 def _bind_column(ret, F, binds: dict, variant_cols: frozenset = frozenset()):
     """The matched elements of a bind variable, always an array
     (src/returnable.rs:348-402); same-name binds merge: OR the element
@@ -1076,22 +1277,61 @@ def _bind_column(ret, F, binds: dict, variant_cols: frozenset = frozenset()):
     arrs = []
     is_v = []
     for fld, conds in by_field.items():
-        if _unescape_col(fld) in variant_cols:
-            arrs.append(
-                F.coalesce(
-                    F.filter(
-                        V.v_elements(F.col(_escape_col(fld))),
-                        _or_preds([V.v_cond_pred(c) for c in conds]),
-                    ),
-                    F.expr("cast(array() as array<variant>)"),
+        isv = _unescape_col(fld) in variant_cols
+        nested = [c for c in conds if c[0] == "bindarr"]
+        plain = [c for c in conds if c[0] != "bindarr"]
+        if isv:
+            col0 = F.col(_escape_col(fld))
+            if plain:
+                arrs.append(
+                    F.coalesce(
+                        F.filter(
+                            V.v_elements(col0),
+                            _or_preds([V.v_cond_pred(c) for c in plain]),
+                        ),
+                        F.expr("cast(array() as array<variant>)"),
+                    )
                 )
-            )
-            is_v.append(True)
+                is_v.append(True)
+            for _, key, inner in nested:
+                # nested bind: capture the INNER matched elements of
+                # each outer element's `key` array (geojson.noise:127)
+                arrs.append(
+                    F.coalesce(
+                        F.flatten(
+                            F.filter(
+                                F.transform(
+                                    V.v_elements(col0),
+                                    _nested_cap_v(key, V.v_cond_pred(inner), V, F),
+                                ),
+                                _notnull,
+                            )
+                        ),
+                        F.expr("cast(array() as array<variant>)"),
+                    )
+                )
+                is_v.append(True)
         else:
-            arrs.append(
-                F.filter(F.col(fld), _or_preds([P._cond_pred(c) for c in conds]))
-            )
-            is_v.append(False)
+            if plain:
+                arrs.append(
+                    F.filter(
+                        F.col(fld), _or_preds([P._cond_pred(c) for c in plain])
+                    )
+                )
+                is_v.append(False)
+            for _, key, inner in nested:
+                arrs.append(
+                    F.flatten(
+                        F.filter(
+                            F.transform(
+                                F.col(fld),
+                                _nested_cap(key, P._cond_pred(inner), F),
+                            ),
+                            _notnull,
+                        )
+                    )
+                )
+                is_v.append(False)
     col = arrs[0] if len(arrs) == 1 else F.concat(*arrs)
     variant_elems = any(is_v)
     for seg in ret.path:  # x.v → project each matched element
@@ -1300,9 +1540,13 @@ def run_query(reader, text: str, params: dict | None = None, default_k: int = 10
                 col = F.coalesce(col, F.lit(o.default))
         order_cols.append(col.asc() if o.asc else col.desc())
     if not order_cols:
+        # the REFERENCE never orders implicitly — even `return score()`
+        # without an order clause lists seq order (geojson.noise:142).
+        # The engine's own convenience surface (default_k set) keeps
+        # score-descending top-k as the unordered-scored default.
         order_cols = (
             [F.desc("score"), F.asc(seq_col)]
-            if wants_score
+            if wants_score and default_k is not None
             else [F.asc(seq_col)]
         )
     elif wants_score and seq_col == "url":

@@ -134,6 +134,48 @@ class BboxOverlap(Node):
 
 
 @dataclass(frozen=True)
+class ElemWord(Node):
+    """Word-match condition over ARRAY ELEMENTS with same-element
+    boolean semantics — the reference's stemmed filters inside array
+    clauses (``{bar: [(~="fox" || ~="brown") && !~="quick"]}``,
+    repl-tests/not.noise:50-98): ONE element must satisfy the whole
+    tree, so a doc-level And/Not over the flattened element field
+    would be wrong (doc 8 ["quick","fox"] matches via its "fox"
+    element even though the DOC contains "quick").
+
+    ``tree`` nodes: ("word", terms, window|None) /
+    ("wand"|"wor", l, r) / ("wnot", t). ``depth`` scopes the
+    arraypath (1 = direct elements, 2 = elements of nested arrays).
+
+    Spark lowering (engine._elem_word_match): candidates come from an
+    INDEX prefilter on the positive terms at the depth-scoped shadow
+    field (a bucket-pruned postings scan — scale-sound); the
+    same-element boolean is then ONE Arrow-batched verify over the
+    stored field value (re-tokenize per element, evaluate the tree) —
+    the same candidates+verify shape as phrase matching. Pure-positive
+    trees never build this node: the parser rewrites them to plain
+    Term/Or/And on the shadow field (index-only, scored)."""
+
+    field: str
+    tree: tuple
+    depth: int = 1
+
+
+@dataclass(frozen=True)
+class ElemWordAll(Node):
+    """∀-quantified nested word match: every DEPTH-1 element (itself
+    an array) has a DEPTH-2 string element matching the tree; docs
+    where the field is missing, scalar, or whose depth-1 elements are
+    not arrays do NOT satisfy it. Only reachable negated — the
+    reference's ``{f: [[!~="w"]]}`` complements exactly this set
+    (not.noise:113-152: docs without the field and flat-array docs all
+    match the negation)."""
+
+    field: str
+    tree: tuple
+
+
+@dataclass(frozen=True)
 class Bind(Node):
     """Bind variable over an array-valued field — the reference's
     ``{field: x::[<cond>]}`` (BindFilter, src/filters.rs:1068-1152):
@@ -183,13 +225,30 @@ def _cond_pred(cond: tuple):
     if tag in ("or", "and"):
         lp, rp = _cond_pred(cond[1]), _cond_pred(cond[2])
         return (lambda e: lp(e) | rp(e)) if tag == "or" else (lambda e: lp(e) & rp(e))
-    if tag == "arr":
-        # ("arr", key, inner): the element's field is itself an array —
-        # match when ANY inner element satisfies (nested array filter,
-        # query_basic.noise:39). Nested HOFs are legal in Spark SQL.
+    if tag in ("arr", "bindarr"):
+        # ("arr", key, inner): the element's field (or, key=None, the
+        # element ITSELF — anonymous nesting `{a: [[!= "v"]]}`,
+        # not.noise:136) is an array — match when ANY inner element
+        # satisfies. Nested HOFs are legal in Spark SQL. "bindarr" is
+        # the same MATCH with nested-bind capture (parser._bind_column).
         _, key, inner = cond
         ip = _cond_pred(inner)
-        return lambda e: F.exists(e[key], ip)
+        return lambda e: F.exists(e if key is None else e[key], ip)
+    if tag == "obj":
+        # ("obj", key, inner): nested object condition on the
+        # element's field — inner keys resolve relative to it
+        # ([{geometry: {type: == "Point"}}], geojson.noise:44)
+        _, key, inner = cond
+        ip = _cond_pred(inner)
+        return lambda e: ip(e[key])
+    if tag == "bbox":
+        # ("bbox", key, (w, s, e, n)): geo overlap on the element (or
+        # its field) — geojson.noise:81-120. Works on typed structs
+        # and variants alike (JSON-rendered coordinate extraction).
+        from .variant import bbox_overlap_json
+
+        _, key, (w, s, e_, n) = cond
+        return lambda e: bbox_overlap_json(e if key is None else e[key], w, s, e_, n)
     _, key, op, v = cond
 
     def pred(e):

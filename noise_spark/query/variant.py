@@ -137,13 +137,27 @@ def v_cond_pred(cond: tuple):
     if tag in ("or", "and"):
         lp, rp = v_cond_pred(cond[1]), v_cond_pred(cond[2])
         return (lambda e: lp(e) | rp(e)) if tag == "or" else (lambda e: lp(e) & rp(e))
-    if tag == "arr":
+    if tag in ("arr", "bindarr"):
         _, key, inner = cond
         ip = v_cond_pred(inner)
-        return lambda e: F.coalesce(
-            F.exists(v_elements(F.try_variant_get(e, f"$.{key}", "variant")), ip),
-            F.lit(False),
-        )
+
+        def arr_pred(e):
+            t = e if key is None else F.try_variant_get(e, f"$.{key}", "variant")
+            return F.coalesce(F.exists(v_elements(t), ip), F.lit(False))
+
+        return arr_pred
+    if tag == "obj":
+        _, key, inner = cond
+        ip = v_cond_pred(inner)
+        return lambda e: ip(F.try_variant_get(e, f"$.{key}", "variant"))
+    if tag == "bbox":
+        _, key, (w, s, e_, n) = cond
+
+        def bbox_pred(e):
+            t = e if key is None else F.try_variant_get(e, f"$.{key}", "variant")
+            return bbox_overlap_json(t, w, s, e_, n)
+
+        return bbox_pred
     _, key, op, v = cond
 
     def pred(e):
@@ -190,33 +204,74 @@ def v_order_key(col: Column) -> Column:
     return collation_key(F.coalesce(F.to_json(col), F.lit("null")))
 
 
-def v_text(col: Column) -> Column:
-    """The DIRECT text content of a variant field as array<string> —
-    what the full-text index sees: the value itself when it is a JSON
-    string, its string elements (in order) when it is an array. Nested
-    object text belongs to deeper keypaths (the reference scopes word
-    keys by exact keypath, src/key_builder.rs:64-82) and is not
-    included."""
-    sch = F.schema_of_variant(col)
-    return F.when(
-        sch == "STRING", F.array(F.try_variant_get(col, "$", "string"))
-    ).when(
-        sch.startswith("ARRAY"),
-        F.filter(
-            F.transform(
-                v_elements(col),
-                lambda e: F.when(
-                    F.schema_of_variant(e) == "STRING",
-                    F.try_variant_get(e, "$", "string"),
-                ),
+def v_text(col: Column, depth: int = 0) -> Column:
+    """The text content of a variant field at one ARRAY DEPTH, as
+    array<string> — what the full-text index sees. The reference
+    scopes word keys by keypath INCLUDING arraypath markers
+    (src/key_builder.rs:64-82: ``bar`` vs ``bar$!`` vs ``bar$!$!``),
+    so ``{f: ~= w}`` matches only a scalar string value (depth 0),
+    ``{f: [~= w]}`` only direct array elements (depth 1), and
+    ``{f: [[~= w]]}`` only elements of nested arrays (depth 2) —
+    pinned by not.noise:33-47 (scalar ``~=`` excludes array docs).
+    Nested OBJECT text belongs to deeper keypaths and is excluded."""
+    if depth == 0:
+        return F.when(
+            F.schema_of_variant(col) == "STRING",
+            F.array(F.try_variant_get(col, "$", "string")),
+        )
+    if depth == 1:
+        inner = v_elements(col)
+    else:  # depth 2: flatten the string elements of element-arrays
+        inner = F.flatten(
+            F.filter(
+                F.transform(v_elements(col), lambda e: v_elements(e)),
+                _notnull,
+            )
+        )
+    return F.filter(
+        F.transform(
+            inner,
+            lambda e: F.when(
+                F.schema_of_variant(e) == "STRING",
+                F.try_variant_get(e, "$", "string"),
             ),
-            _notnull,
         ),
+        _notnull,
     )
 
 
 def _notnull(x):
     return x.isNotNull()
+
+
+_NUM_RE = r"-?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?"
+
+
+def bbox_overlap_json(col: Column, w: float, s: float, e: float, n: float) -> Column:
+    """GeoJSON bbox overlap for a DYNAMIC geometry value (variant or
+    struct, any of Point/LineString/Polygon — the reference's
+    BboxFilter, src/filters.rs:503-586). The geometry's bbox derives
+    from the numeric content of its JSON rendering: GeoJSON coordinate
+    arrays are the only numbers a geometry object carries (``type`` is
+    text), and they alternate x,y at every nesting depth, so even
+    positions are x and odd are y regardless of Point vs Polygon
+    nesting. Pure JVM expressions (to_json → regexp_extract_all →
+    indexed filter → array_min/max), usable inside higher-order
+    lambdas — so the same predicate serves top-level fields, array
+    elements, and bind conditions."""
+    nums = F.transform(
+        F.regexp_extract_all(F.to_json(col), F.lit(_NUM_RE), 0),
+        lambda x: x.cast("double"),
+    )
+    xs = F.filter(nums, lambda x, i: i % 2 == 0)
+    ys = F.filter(nums, lambda x, i: i % 2 == 1)
+    return F.coalesce(
+        (F.array_min(xs) <= e)
+        & (F.array_max(xs) >= w)
+        & (F.array_min(ys) <= n)
+        & (F.array_max(ys) >= s),
+        F.lit(False),
+    )
 
 
 # -- aggregation prep ---------------------------------------------------------

@@ -56,7 +56,8 @@ def test_parse_bbox_clause():
     assert spec.node == P.BboxOverlap("g", -5.0, -5.0, 5.5, 5.5)
     from noise_spark.query.parser import ParseError
 
-    with pytest.raises(ParseError, match="bbox"):
+    # reference error text (geojson.noise:48-60)
+    with pytest.raises(ParseError, match="Bounding box needs to be"):
         parse_query("find {g: && [1, 2, 3]}", analyzer="whitespace")
 
 
