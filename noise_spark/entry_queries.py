@@ -172,6 +172,68 @@ def q_retired(name: str, sql: str | None):
 
 # ---- fulltext engine queries (documents) -----------------------------------
 
+@q(
+    "ft_schemaless_ingest",
+    """
+SELECT CAST(doc_id AS VARCHAR) AS id, n_chars AS n
+FROM documents
+WHERE (doc_id % 2 = 1 AND (source = 'src7' OR lang = 'src7')) OR n_chars > 480
+ORDER BY n DESC, id ASC
+""",
+)
+def ft_schemaless_ingest(spark, sf_dir):
+    """End-to-end SCHEMALESS path, driver-graded: documents rows are
+    rendered as JSON with a deliberately type-CONFLICTED ``tag`` field
+    (a string on even ids, an array on odd ids — the reference accepts
+    any JSON shape per doc, src/json_shred.rs:485-576), ingested
+    through :func:`noise_spark.ingest.ingest_json` (distributed
+    per-field inference, VARIANT fallback, arraypath text shadows),
+    indexed for real, and queried through the query language's
+    anonymous array-element exact match + numeric range
+    (``find {tag: [== "src7"] || n_chars: > 480} ...``). The scalar
+    ``tag`` on even docs must NOT satisfy the array condition."""
+    from .ingest import FULLDOC_COL, ingest_json
+    from .query.parser import run_query
+
+    docs = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string").alias("_id")
+    base = [sid, F.col("text"), F.col("lang"), F.col("n_chars")]
+    even = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.to_json(F.struct(*base, F.col("source").alias("tag"))).alias("js")
+    )
+    odd = docs.filter(F.col("doc_id") % 2 == 1).select(
+        F.to_json(
+            F.struct(*base, F.array("source", "lang").alias("tag"))
+        ).alias("js")
+    )
+    ing = ingest_json(spark, even.union(odd))
+    idx = os.path.join(
+        tempfile.gettempdir(),
+        f"noise_spark_schemaless_{hashlib.sha1(sf_dir.encode()).hexdigest()[:10]}",
+    )
+    import shutil
+
+    shutil.rmtree(idx, ignore_errors=True)
+    build_index(
+        spark,
+        ing,
+        idx,
+        BuildConfig(
+            analyzer="porter",
+            fields="auto",
+            extra_doc_cols=("n_chars", "tag", FULLDOC_COL),
+            block_size=32,
+        ),
+    )
+    out = run_query(
+        IndexReader(spark, idx),
+        'find {tag: [== "src7"] || n_chars: > 480} '
+        "order .n_chars desc return {id: ._id, n: .n_chars}",
+        default_k=None,
+    )
+    return out
+
+
 @q("ft_single_term_topk", _bm25_sql(["dup"]))
 def ft_single_term_topk(spark, sf_dir):
     r = doc_index(spark, sf_dir)
@@ -1454,7 +1516,12 @@ sig AS (
 """
 
 
-@q(
+# retired in round 5 to stay within the driver's 50-entry window when
+# ft_schemaless_ingest joined the graded set: the signature computation
+# is fully exercised by the graded dp_simhash_band_pairs (banding +
+# hamming verify runs ON these signatures); still oracled via
+# tests/test_retired_entries.py
+@q_retired(
     "dp_simhash",
     f"WITH {_SIMHASH_SIG_SQL} SELECT doc_id, simhash FROM sig ORDER BY doc_id",
 )
