@@ -153,7 +153,12 @@ def append_docs(
     return {"generation": gen, "watermark": watermark, **metrics}
 
 
-MUTABLE_STAGES = ("tombstones", "term_stats_delta", "corpus_stats_delta")
+MUTABLE_STAGES = (
+    "tombstones",
+    "term_stats_delta",
+    "corpus_stats_delta",
+    "tombstone_bitmaps",
+)
 
 
 def _stage_df(spark, cat: IndexCatalog, stage: str, empty_schema: str) -> DataFrame:
@@ -259,6 +264,18 @@ def delete_docs(
     # whatever files each stage dir holds; lineage row counts come from
     # parquet footers, so multi-file stages cost no extra jobs.
     all_tombs.write.mode("overwrite").parquet(paths["tombstones"])
+    # the SAME tombstone set re-shaped as per-bin bitmaps (bitmaps.py):
+    # readers above the row-broadcast ceiling apply deletes as a
+    # broadcast mask join instead of a shuffling anti-join. Rebuilt from
+    # the full merged set each commit (same cost class as the
+    # term_stats_delta merge above), published in the same atomic swap.
+    # (read back the file just written rather than recomputing the
+    # merge's victim semi-join a second time)
+    from .bitmaps import build_tombstone_bitmaps
+
+    build_tombstone_bitmaps(
+        spark.read.parquet(paths["tombstones"])
+    ).write.mode("overwrite").parquet(paths["tombstone_bitmaps"])
     new_delta.write.mode("overwrite").parquet(paths["term_stats_delta"])
     # len(fields) rows from one pandas partition — single file by shape
     cd.write.mode("overwrite").parquet(paths["corpus_stats_delta"])

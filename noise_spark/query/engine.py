@@ -194,6 +194,15 @@ class IndexReader:
                 if not t.isEmpty():
                     self._tombstones = t
                     self._n_tombstones = t.count()
+        # the bitmap-shaped view of the same tombstone set (written by
+        # delete_docs in the same atomic commit; absent on pre-bitmap
+        # indexes): lets _minus_tombstones stay a BROADCAST join above
+        # the row-broadcast ceiling (index/bitmaps.py)
+        self._tombstone_bitmaps: DataFrame | None = None
+        if self._n_tombstones and "tombstone_bitmaps" in stages:
+            self._tombstone_bitmaps = spark.read.parquet(
+                stages["tombstone_bitmaps"]["path"]
+            )
         self._term_stats_delta = (
             stages["term_stats_delta"]["path"] if "term_stats_delta" in stages else None
         )
@@ -443,21 +452,28 @@ class IndexReader:
     # below this many tombstones the anti-join side is explicitly
     # broadcast (a doc_id column of 5M longs is ~40 MB serialized —
     # comfortably a map-side hash filter, no shuffle of the decoded
-    # postings). Above it the join shuffles, which the compaction policy
-    # bounds: maybe_compact folds the index at 20% tombstones, so the
-    # shuffle regime is transient by construction. The WAND path never
-    # takes either — it cogroups a BINNED tombstone view per docID bin.
+    # postings). Above it the per-bin bitmap view takes over
+    # (index/bitmaps.py): the mask table is ≤ min(8·n, universe/8)
+    # bytes — 2×10⁹ deletes over 10¹⁰ docs broadcast as ≤1.25 GB — so
+    # delete application NEVER shuffles the match set; only a legacy
+    # pre-bitmap index falls through to the shuffling anti-join, which
+    # the compaction policy bounds (fold at 20% tombstones). The WAND
+    # path takes none of these — it cogroups a BINNED tombstone view
+    # per docID bin.
     BROADCAST_TOMBSTONES_MAX = 5_000_000
 
     def _minus_tombstones(self, df: DataFrame) -> DataFrame:
         if self._tombstones is None:
             return df
-        t = self._tombstones
         if self._n_tombstones <= self.BROADCAST_TOMBSTONES_MAX:
             # deterministic plan: don't leave the no-shuffle path to
             # AQE's runtime estimate of the tombstone side
-            t = F.broadcast(t)
-        return df.join(t, "doc_id", "left_anti")
+            return df.join(F.broadcast(self._tombstones), "doc_id", "left_anti")
+        if self._tombstone_bitmaps is not None:
+            from ..index.bitmaps import not_deleted
+
+            return not_deleted(df, self._tombstone_bitmaps)
+        return df.join(self._tombstones, "doc_id", "left_anti")
 
     # -- table access ---------------------------------------------------------
     @property

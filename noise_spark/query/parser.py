@@ -1439,7 +1439,7 @@ def run_query(reader, text: str, params: dict | None = None, default_k: int = 10
     the reference's seq order)."""
     from pyspark.sql import functions as F
 
-    from ..ingest import FULLDOC_COL
+    from ..ingest import FULLDOC_COL, VARIANT_TEXT_SUFFIX
 
     spec = parse_query(text, params, analyzer=getattr(reader, "analyzer", "porter"))
     if any(isinstance(r, RetAgg) for r in _ret_leaves(spec.ret)):
@@ -1477,9 +1477,17 @@ def run_query(reader, text: str, params: dict | None = None, default_k: int = 10
     # the doc the user added)
     wholedoc_cols: tuple = ()
     if _ret_has_wholedoc(spec.ret):
-        wholedoc_cols = tuple(
-            reader.docs.columns if hasattr(reader, "docs") else docs.columns
-        )
+        wd = reader.docs if hasattr(reader, "docs") else docs
+        # a schemaless index's `<f>__text*` shadows are INDEX inputs
+        # derived from the variant field (ingest.py) — not part of the
+        # document the user added, so `return .` must not render them
+        shadows = {
+            f"{n}{VARIANT_TEXT_SUFFIX}{d}"
+            for n, dt in wd.dtypes
+            if dt == "variant" and n != FULLDOC_COL
+            for d in ("", "1", "2")
+        }
+        wholedoc_cols = tuple(c for c in wd.columns if c not in shadows)
         ret_fields |= set(wholedoc_cols)
     # default ordering surface: FILTERED finds iterate the reference's
     # seq (insertion) order — our doc_id — but the all-docs scan

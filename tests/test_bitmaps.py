@@ -1,0 +1,141 @@
+"""Per-bin tombstone bitmaps (index/bitmaps.py): correctness vs the
+row anti-join, dense/sparse packing, and the no-shuffle plan guarantee
+above the row-broadcast ceiling."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from noise_spark.corpus import generate_pages
+from noise_spark.index.bitmaps import (
+    BIN_SIZE,
+    SPARSE_MAX,
+    build_tombstone_bitmaps,
+    not_deleted,
+)
+from noise_spark.index.build import BuildConfig, build_index
+from noise_spark.index.incremental import delete_docs
+from noise_spark.query import plan as P
+from noise_spark.query.engine import IndexReader
+
+
+def test_bitmaps_equal_anti_join(spark):
+    """Randomized + adversarial doc_id sets: the bitmap mask removes
+    exactly the anti-join's rows. Covers both packings (a dense bin
+    with > SPARSE_MAX deletes, sparse bins elsewhere), word boundaries
+    (offsets 63/64), the sign bit (off % 64 == 63 → long bit 63), bin
+    boundaries, and doc universe rows in bins with no deletes at all."""
+    rng = random.Random(7)
+    dense_bin_base = 3 * BIN_SIZE
+    tombs = set()
+    # dense bin: way past SPARSE_MAX, includes every adversarial offset
+    tombs |= {dense_bin_base + o for o in rng.sample(range(BIN_SIZE), SPARSE_MAX * 3)}
+    tombs |= {dense_bin_base + o for o in (0, 1, 62, 63, 64, 65, BIN_SIZE - 1)}
+    # sparse bins: scattered singletons incl. boundary offsets
+    tombs |= {0, 63, BIN_SIZE - 1, BIN_SIZE, 5 * BIN_SIZE + 64}
+    tombs |= {rng.randrange(8 * BIN_SIZE) for _ in range(200)}
+    universe = set(rng.randrange(8 * BIN_SIZE) for _ in range(5000)) | set(
+        rng.sample(sorted(tombs), 500)
+    )
+    tombs_df = spark.createDataFrame([(d,) for d in sorted(tombs)], "doc_id long")
+    uni_df = spark.createDataFrame(
+        [(d, d % 97) for d in sorted(universe)], "doc_id long, payload long"
+    )
+    bm = build_tombstone_bitmaps(tombs_df)
+    # both packings actually present
+    kinds = {(r["offs"] is None, r["words"] is None) for r in bm.collect()}
+    assert (True, False) in kinds and (False, True) in kinds
+    got = {
+        (r["doc_id"], r["payload"]) for r in not_deleted(uni_df, bm).collect()
+    }
+    want = {
+        (r["doc_id"], r["payload"])
+        for r in uni_df.join(tombs_df, "doc_id", "left_anti").collect()
+    }
+    assert got == want
+    assert got == {(d, d % 97) for d in universe - tombs}
+
+
+@pytest.fixture(scope="module")
+def deleted_index(spark, tmp_path_factory):
+    """2k docs (all in docID bin 0), 1.2k deleted — forces the DENSE
+    per-bin packing (> SPARSE_MAX in-bin) through the real delete
+    commit."""
+    idx = str(tmp_path_factory.mktemp("bm") / "idx")
+    build_index(
+        spark,
+        generate_pages(spark, 2000, seed=3, partitions=8),
+        idx,
+        BuildConfig(analyzer="whitespace", block_size=64),
+    )
+    reader = IndexReader(spark, idx)
+    victims = reader.docs.filter(F.col("doc_id") % 5 != 0).select("url")
+    info = delete_docs(spark, idx, victims)
+    assert info["deleted"] == 1600
+    return idx
+
+
+def test_delete_commit_writes_bitmaps_stage(spark, deleted_index):
+    from noise_spark.index.catalog import IndexCatalog
+
+    man = IndexCatalog(deleted_index).current_manifest()
+    assert "tombstone_bitmaps" in man["stages"]
+    bm = spark.read.parquet(man["stages"]["tombstone_bitmaps"]["path"])
+    rows = bm.collect()
+    assert len(rows) == 1 and rows[0]["bin"] == 0
+    assert rows[0]["offs"] is None and rows[0]["words"] is not None  # dense
+
+
+def test_bitmap_path_matches_row_path_and_never_shuffles(spark, deleted_index, monkeypatch):
+    """Force the above-ceiling regime: results identical to the
+    broadcast-row path, and the docs-view plan applies the mask as a
+    BroadcastHashJoin — no SortMergeJoin / no exchange introduced by
+    delete application."""
+    node = P.Or((P.Term("w00000"), P.Term("w00010")))
+    base_reader = IndexReader(spark, deleted_index)
+    want_docs = {r["doc_id"] for r in base_reader.docs.select("doc_id").collect()}
+    want_top = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in base_reader.search(node, k=10).collect()
+    ]
+    monkeypatch.setattr(IndexReader, "BROADCAST_TOMBSTONES_MAX", 0)
+    reader = IndexReader(spark, deleted_index)
+    assert reader._tombstone_bitmaps is not None
+    got_docs = {r["doc_id"] for r in reader.docs.select("doc_id").collect()}
+    assert got_docs == want_docs and all(d % 5 == 0 for d in got_docs)
+    got_top = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in reader.search(node, k=10).collect()
+    ]
+    assert got_top == want_top
+    plan = reader.docs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_legacy_index_without_bitmaps_falls_back(spark, deleted_index, tmp_path, monkeypatch):
+    """A pre-bitmap manifest (stage absent) must still answer correctly
+    above the ceiling via the shuffling anti-join."""
+    import json
+    import os
+    import shutil
+
+    legacy = str(tmp_path / "legacy")
+    shutil.copytree(deleted_index, legacy)
+    from noise_spark.index.catalog import IndexCatalog
+
+    cat = IndexCatalog(legacy)
+    man = cat.current_manifest()
+    del man["stages"]["tombstone_bitmaps"]
+    # rewrite the current manifest in place (test-only surgery)
+    cur = os.path.join(legacy, "_CURRENT")
+    with open(cur) as f:
+        name = f.read().strip()
+    with open(os.path.join(legacy, "_manifests", name), "w") as f:
+        json.dump(man, f)
+    monkeypatch.setattr(IndexReader, "BROADCAST_TOMBSTONES_MAX", 0)
+    reader = IndexReader(spark, legacy)
+    assert reader._tombstone_bitmaps is None
+    docs = {r["doc_id"] for r in reader.docs.select("doc_id").collect()}
+    assert docs and all(d % 5 == 0 for d in docs)

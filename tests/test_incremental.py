@@ -134,7 +134,7 @@ def test_torn_append_invisible_then_resumed(spark, tmp_path):
 
 
 def test_delete_single_snapshot_and_gc(spark, tmp_path):
-    """All three mutable stages of a delete publish under ONE snapshot id
+    """All mutable stages of a delete publish under ONE snapshot id
     (atomic multi-stage commit) and superseded versioned dirs are GC'd."""
     import os
 
@@ -147,18 +147,20 @@ def test_delete_single_snapshot_and_gc(spark, tmp_path):
     delete_docs(spark, idx, urls1)
     cat = IndexCatalog(idx)
     man = cat.current_manifest()
+    from noise_spark.index.incremental import MUTABLE_STAGES
+
     stamps = {
-        s: man["stages"][s]["path"].rsplit("__", 1)[1]
-        for s in ("tombstones", "term_stats_delta", "corpus_stats_delta")
+        s: man["stages"][s]["path"].rsplit("__", 1)[1] for s in MUTABLE_STAGES
     }
-    assert len(set(stamps.values())) == 1, stamps  # one snapshot for all three
+    assert len(set(stamps.values())) == 1, stamps  # one snapshot for all stages
 
     # second delete supersedes the first version dirs; old ones GC'd
     reader = IndexReader(spark, idx)
     urls2 = [r["url"] for r in reader.docs.limit(5).collect()]
     delete_docs(spark, idx, urls2)
     versioned = [d for d in os.listdir(idx) if "__" in d]
-    assert len(versioned) == 3, versioned  # exactly the current trio remains
+    # exactly the current version of each mutable stage remains
+    assert len(versioned) == len(MUTABLE_STAGES), versioned
     reader = IndexReader(spark, idx)
     assert reader.n_docs == 140
     _assert_identical(reader, _oracle_for(spark, reader))

@@ -1,0 +1,86 @@
+"""Schemaless ingestion surface (noise_spark/ingest.py) — field typing
+and the whole-document return over an ingested index."""
+
+import json
+
+from noise_spark.index.build import BuildConfig, build_index
+from noise_spark.ingest import FULLDOC_COL, VARIANT_TEXT_SUFFIX, ingest_json
+from noise_spark.query.engine import IndexReader
+from noise_spark.query.parser import run_query
+
+DOCS = [
+    {"_id": "1", "t": "quick brown fox", "n": 3, "tag": "a"},
+    {"_id": "2", "t": "lazy dog", "n": 7, "tag": ["a", "b"]},
+    {"_id": "3", "t": "quick dog", "n": 1, "tag": "c"},
+]
+
+
+def _build(spark, tmp_path):
+    df = ingest_json(spark, [json.dumps(d) for d in DOCS])
+    idx = str(tmp_path / "idx")
+    build_index(
+        spark,
+        df,
+        idx,
+        BuildConfig(
+            analyzer="whitespace",
+            fields="auto",
+            doc_id_col="doc_id",
+            extra_doc_cols=("n", "tag", FULLDOC_COL),
+            block_size=8,
+        ),
+    )
+    return IndexReader(spark, idx)
+
+
+def test_ingest_types(spark):
+    df = ingest_json(spark, [json.dumps(d) for d in DOCS])
+    dt = dict(df.dtypes)
+    assert dt["t"] == "string"  # concrete merged schema → typed
+    assert dt["n"] == "bigint"
+    assert dt["tag"] == "variant"  # string-vs-array conflict → variant
+    # one full-text shadow per array depth
+    for d in ("", "1", "2"):
+        assert dt[f"tag{VARIANT_TEXT_SUFFIX}{d}"] == "array<string>"
+    assert dt[FULLDOC_COL] == "variant"
+    assert {r["url"] for r in df.select("url").collect()} == {"1", "2", "3"}
+
+
+def test_wholedoc_return_hides_index_shadows(spark, tmp_path):
+    """`return .` on a schemaless index renders the DOCUMENT — the
+    `<f>__text*` shadow columns are index inputs derived from the
+    variant field (ingest.py) and must not leak into the output."""
+    reader = _build(spark, tmp_path)
+    out = run_query(reader, 'find {t: ~= "quick"} return .', default_k=None)
+    assert not [c for c in out.columns if VARIANT_TEXT_SUFFIX in c], out.columns
+    for want in ("doc_id", "url", "t", "n", "tag", FULLDOC_COL):
+        assert want in out.columns, out.columns
+    rows = {r["url"]: r for r in out.collect()}
+    assert set(rows) == {"1", "3"}
+    assert rows["1"]["n"] == 3 and rows["1"]["t"] == "quick brown fox"
+    # nested whole-doc (`return {d: .}`) — same exclusion inside a struct
+    out2 = run_query(reader, 'find {t: ~= "quick"} return {d: .}', default_k=None)
+    inner = [f.name for f in out2.schema["d"].dataType.fields]
+    assert not [c for c in inner if VARIANT_TEXT_SUFFIX in c], inner
+
+
+def test_array_element_match_excludes_scalar(spark, tmp_path):
+    """{tag: [== "a"]} matches only docs whose tag IS an array with an
+    "a" element — the scalar "a" on doc 1 must not satisfy the array
+    condition (reference arraypath keyspaces, not.noise:33-47)."""
+    reader = _build(spark, tmp_path)
+    got = {
+        r["result"]
+        for r in run_query(
+            reader, 'find {tag: [== "a"]} return ._id', default_k=None
+        ).collect()
+    }
+    assert got == {"2"}
+    # and the scalar equality addresses only scalars
+    got2 = {
+        r["result"]
+        for r in run_query(
+            reader, 'find {tag: == "a"} return ._id', default_k=None
+        ).collect()
+    }
+    assert got2 == {"1"}
