@@ -1444,7 +1444,72 @@ class IndexReader:
                 T.StructField("score", T.DoubleType(), False),
             ]
         )
-        if self._tombstones is not None:
+        if (
+            self._tombstones is not None
+            and self._n_tombstones > self.BROADCAST_TOMBSTONES_MAX
+            and self._tombstone_bitmaps is not None
+        ):
+            # above the row-broadcast ceiling, cogroup the per-bin BITMAP
+            # masks instead of raw tombstone rows: the shuffled side is
+            # ≤ min(8·n, universe/8) bytes per query (e.g. 1.25 GB for
+            # 2×10⁹ deletes over 10¹⁰ docs, vs ~30 GB of rows); each
+            # task expands only its own docID range's masks to the
+            # exclude array (index/bitmaps.py layout)
+            from ..index.bitmaps import BIN_SIZE
+
+            bsz = BIN_SIZE
+
+            def run_bin_with_masks(key, pdf: pd.DataFrame, masks: pd.DataFrame) -> pd.DataFrame:
+                import numpy as np
+
+                lo, hi = key[0] * bw, (key[0] + 1) * bw
+                parts = []
+                for row in masks.itertuples(index=False):
+                    base = int(row.bbin) * bsz
+                    if row.offs is not None:
+                        ids = base + np.asarray(row.offs, dtype=np.int64)
+                    else:
+                        # force little-endian byte layout so the uint8
+                        # view enumerates bits in doc-offset order on
+                        # any platform
+                        words = np.asarray(row.words, dtype=np.int64).astype("<i8")
+                        bits = np.unpackbits(
+                            words.view(np.uint8), bitorder="little"
+                        )
+                        ids = base + np.flatnonzero(bits)
+                    parts.append(ids[(ids >= lo) & (ids < hi)])
+                excl = (
+                    np.sort(np.concatenate(parts)) if parts else None
+                )
+                if excl is not None and not len(excl):
+                    excl = None
+                return _run_bin(key[0], pdf, excl)
+
+            masks = self._tombstone_bitmaps.select(
+                F.col("bin").alias("bbin"), "offs", "words"
+            )
+            # a bitmap bin [b·2¹⁶, (b+1)·2¹⁶) can straddle several WAND
+            # bins — replicate it into each (same sequence-explode shape
+            # as the segment→bin mapping above)
+            masks = masks.select(
+                F.explode(
+                    F.sequence(
+                        ((F.col("bbin") * bsz) / F.lit(bin_width)).cast("int"),
+                        (
+                            ((F.col("bbin") + 1) * bsz - 1) / F.lit(bin_width)
+                        ).cast("int"),
+                    )
+                ).alias("bin"),
+                "bbin",
+                "offs",
+                "words",
+            )
+            candidates = (
+                segs.groupBy("bin")
+                .cogroup(masks.groupBy("bin"))
+                .applyInPandas(run_bin_with_masks, schema=out_schema)
+            )
+        elif self._tombstones is not None:
             # tombstones reach each bin through a COGROUP on the same bin
             # key — each task sees only its own docID range's tombstones,
             # nothing rides in the closure, nothing touches the driver

@@ -1504,15 +1504,36 @@ def run_query(reader, text: str, params: dict | None = None, default_k: int = 10
     docs_cols = set(docs.columns) if need_fields else set()
     join_cols = sorted(f for f in need_fields if f in docs_cols and f != "doc_id")
     missing = need_fields - set(join_cols)
+    # Join placement: fields the SORT needs (order keys + the seq
+    # tie-break) must ride the top-k; RETURN-only fields join AFTER the
+    # limit, so only k rows fetch their payload — at scale the sort
+    # compares (doc_id, score, keys), never whole documents (the
+    # reference fetches return values per EMITTED row the same way,
+    # src/returnable.rs fetch after the ordered buffer pops). Without a
+    # limit there is nothing to defer behind — join everything up front.
+    eff_limit = (
+        spec.limit
+        if spec.limit is not None
+        else (default_k if wants_score and default_k is not None else None)
+    )
+    pre_need = set(order_fields)
+    if seq_col != "doc_id":
+        pre_need.add(seq_col)
+    join_pre = (
+        sorted(f for f in pre_need if f in docs_cols and f != "doc_id")
+        if eff_limit is not None
+        else join_cols
+    )
+    join_post = [f for f in join_cols if f not in join_pre]
     # unknown keypaths are never errors: a missing ORDER key compares
     # as null / its default=, a missing RETURN path renders as null /
     # its default= (returnable.rs:298; collation.noise:136 orders an
     # empty match set by fields that exist nowhere)
-    if join_cols:
+    if join_pre:
         # select by LITERAL name (a doc column may contain dots)
         base = base.join(
             docs.select(
-                "doc_id", *[F.col(_escape_col(c)).alias(c) for c in join_cols]
+                "doc_id", *[F.col(_escape_col(c)).alias(c) for c in join_pre]
             ),
             "doc_id",
             "left",
@@ -1566,10 +1587,18 @@ def run_query(reader, text: str, params: dict | None = None, default_k: int = 10
     else:
         order_cols.append(F.asc(seq_col))  # deterministic tie-break
     out = base.orderBy(*order_cols)
-    if spec.limit is not None:
-        out = out.limit(spec.limit)
-    elif wants_score and default_k is not None:
-        out = out.limit(default_k)
+    if eff_limit is not None:
+        out = out.limit(eff_limit)
+    if join_post:
+        # deferred payload fetch for the k emitted rows only; re-apply
+        # the ordering (trivial at k rows) since a join drops it
+        out = out.join(
+            docs.select(
+                "doc_id", *[F.col(_escape_col(c)).alias(c) for c in join_post]
+            ),
+            "doc_id",
+            "left",
+        ).orderBy(*order_cols)
 
     available = set(out.columns) | {"doc_id"}
     if spec.ret is None:

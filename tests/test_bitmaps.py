@@ -114,6 +114,55 @@ def test_bitmap_path_matches_row_path_and_never_shuffles(spark, deleted_index, m
     assert "SortMergeJoin" not in plan
 
 
+def test_wand_mask_cogroup_matches_row_path(spark, deleted_index, monkeypatch):
+    """Above the ceiling, WAND cogroups the per-bin BITMAP masks (not
+    raw tombstone rows): results must be identical to the row-cogroup
+    path, dense and sparse masks both expanded correctly."""
+    node = P.Or((P.Term("w00000"), P.Term("w00010")))
+    want = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in IndexReader(spark, deleted_index).search_wand(node, k=10).collect()
+    ]
+    monkeypatch.setattr(IndexReader, "BROADCAST_TOMBSTONES_MAX", 0)
+    reader = IndexReader(spark, deleted_index)
+    assert reader._tombstone_bitmaps is not None
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in reader.search_wand(node, k=10).collect()
+    ]
+    assert got == want
+    assert got and all(d % 5 == 0 for d, _ in got)
+
+
+def test_wand_mask_cogroup_sparse_bin(spark, tmp_path, monkeypatch):
+    """Sparse-packed (offs) masks through the WAND cogroup expansion."""
+    idx = str(tmp_path / "idx")
+    build_index(
+        spark,
+        generate_pages(spark, 500, seed=5, partitions=4),
+        idx,
+        BuildConfig(analyzer="whitespace", block_size=32),
+    )
+    reader = IndexReader(spark, idx)
+    victims = reader.docs.filter(F.col("doc_id").isin([0, 63, 64, 199])).select("url")
+    assert delete_docs(spark, idx, victims)["deleted"] == 4
+    node = P.Or((P.Term("w00000"), P.Term("w00010")))
+    want = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in IndexReader(spark, idx).search_wand(node, k=10).collect()
+    ]
+    monkeypatch.setattr(IndexReader, "BROADCAST_TOMBSTONES_MAX", 0)
+    reader = IndexReader(spark, idx)
+    bm = reader._tombstone_bitmaps.collect()
+    assert len(bm) == 1 and bm[0]["words"] is None and list(bm[0]["offs"]) == [0, 63, 64, 199]
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in reader.search_wand(node, k=10).collect()
+    ]
+    assert got == want
+    assert all(d not in (0, 63, 64, 199) for d, _ in got)
+
+
 def test_legacy_index_without_bitmaps_falls_back(spark, deleted_index, tmp_path, monkeypatch):
     """A pre-bitmap manifest (stage absent) must still answer correctly
     above the ceiling via the shuffling anti-join."""

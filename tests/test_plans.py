@@ -209,3 +209,31 @@ def test_whole_doc_return_projects_all_doc_columns(plan_reader):
     assert set(df.columns) == set(plan_reader.docs.columns)
     plan = _plan(df)
     assert "BatchEvalPython" not in plan
+
+
+def test_return_payload_joins_after_limit(plan_reader):
+    """With a limit, RETURN-only doc fields join AFTER the top-k: the
+    sort compares (doc_id, score, order keys), never the payload — in
+    the optimized plan the payload LeftOuter join is the PARENT of
+    GlobalLimit (the reference fetches return values per emitted row,
+    src/returnable.rs). Order-key fields still ride the sort."""
+    from noise_spark.query.parser import run_query
+
+    df = run_query(
+        plan_reader,
+        'find {text: ~= "w00000"} order score() desc '
+        "return {u: .url, t: .text} limit 5",
+        default_k=None,
+    )
+    p = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "GlobalLimit" in p and "Join LeftOuter" in p
+    # parents print first: the deferred payload join appears above the limit
+    assert p.index("Join LeftOuter") < p.index("GlobalLimit"), p[:1500]
+    # without a limit nothing is deferred — single pre-join, no re-sort
+    df2 = run_query(
+        plan_reader,
+        'find {text: ~= "w00000"} order score() desc return {u: .url}',
+        default_k=None,
+    )
+    p2 = df2._jdf.queryExecution().optimizedPlan().toString()
+    assert "GlobalLimit" not in p2
