@@ -1449,60 +1449,46 @@ class IndexReader:
             and self._n_tombstones > self.BROADCAST_TOMBSTONES_MAX
             and self._tombstone_bitmaps is not None
         ):
-            # above the row-broadcast ceiling, cogroup the per-bin BITMAP
-            # masks instead of raw tombstone rows: the shuffled side is
-            # ≤ min(8·n, universe/8) bytes per query (e.g. 1.25 GB for
-            # 2×10⁹ deletes over 10¹⁰ docs, vs ~30 GB of rows); each
-            # task expands only its own docID range's masks to the
-            # exclude array (index/bitmaps.py layout)
-            from ..index.bitmaps import BIN_SIZE
-
-            bsz = BIN_SIZE
-
+            # above the row-broadcast ceiling, cogroup the word-level
+            # BITMAP masks instead of raw tombstone rows: the shuffled
+            # side is ≤ min(16·n, universe/4) bytes per query (e.g.
+            # ~2.5 GB for 2×10⁹ deletes over 10¹⁰ docs, vs ~30 GB of
+            # rows); each task expands only its own docID range's mask
+            # words to the exclude array (index/bitmaps.py layout)
             def run_bin_with_masks(key, pdf: pd.DataFrame, masks: pd.DataFrame) -> pd.DataFrame:
                 import numpy as np
 
                 lo, hi = key[0] * bw, (key[0] + 1) * bw
-                parts = []
-                for row in masks.itertuples(index=False):
-                    base = int(row.bbin) * bsz
-                    if row.offs is not None:
-                        ids = base + np.asarray(row.offs, dtype=np.int64)
-                    else:
-                        # force little-endian byte layout so the uint8
-                        # view enumerates bits in doc-offset order on
-                        # any platform
-                        words = np.asarray(row.words, dtype=np.int64).astype("<i8")
-                        bits = np.unpackbits(
-                            words.view(np.uint8), bitorder="little"
-                        )
-                        ids = base + np.flatnonzero(bits)
-                    parts.append(ids[(ids >= lo) & (ids < hi)])
-                excl = (
-                    np.sort(np.concatenate(parts)) if parts else None
-                )
-                if excl is not None and not len(excl):
-                    excl = None
+                excl = None
+                if len(masks):
+                    base = masks["wbin"].to_numpy(dtype=np.int64) << 6
+                    words = (
+                        masks["word"].to_numpy(dtype=np.int64).astype("<i8")
+                    )
+                    # little-endian uint8 view → bits in doc-offset order
+                    bits = np.unpackbits(
+                        words.view(np.uint8), bitorder="little"
+                    ).reshape(len(words), 64)
+                    rows, offs = np.nonzero(bits)
+                    ids = base[rows] + offs
+                    ids = ids[(ids >= lo) & (ids < hi)]
+                    excl = np.sort(ids) if len(ids) else None
                 return _run_bin(key[0], pdf, excl)
 
+            # a mask word covers docIDs [wbin·64, wbin·64+63] and can
+            # straddle two WAND bins — replicate into each (same
+            # sequence-explode shape as the segment→bin mapping above)
             masks = self._tombstone_bitmaps.select(
-                F.col("bin").alias("bbin"), "offs", "words"
-            )
-            # a bitmap bin [b·2¹⁶, (b+1)·2¹⁶) can straddle several WAND
-            # bins — replicate it into each (same sequence-explode shape
-            # as the segment→bin mapping above)
-            masks = masks.select(
                 F.explode(
                     F.sequence(
-                        ((F.col("bbin") * bsz) / F.lit(bin_width)).cast("int"),
-                        (
-                            ((F.col("bbin") + 1) * bsz - 1) / F.lit(bin_width)
-                        ).cast("int"),
+                        ((F.col("wbin") * 64) / F.lit(bin_width)).cast("int"),
+                        ((F.col("wbin") * 64 + 63) / F.lit(bin_width)).cast(
+                            "int"
+                        ),
                     )
                 ).alias("bin"),
-                "bbin",
-                "offs",
-                "words",
+                "wbin",
+                "word",
             )
             candidates = (
                 segs.groupBy("bin")

@@ -85,9 +85,21 @@ def main():
         ),
     }
 
-    def run(tag, ceiling, hide_bitmaps):
+    def run(tag, ceiling, hide_bitmaps, force_shuffle=False):
         old = IndexReader.BROADCAST_TOMBSTONES_MAX
         IndexReader.BROADCAST_TOMBSTONES_MAX = ceiling
+        # force_shuffle models the TRUE above-ceiling regime: at >5M
+        # tombstone rows the side can't broadcast, so neither may AQE
+        # here (at this test size AQE would auto-broadcast the rows and
+        # hide the shuffle being measured)
+        confs = {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        }
+        prev = {k: spark.conf.get(k, None) for k in confs}
+        if force_shuffle:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
         try:
             r = IndexReader(spark, idx)
             if hide_bitmaps:
@@ -104,9 +116,12 @@ def main():
             return res, secs
         finally:
             IndexReader.BROADCAST_TOMBSTONES_MAX = old
+            if force_shuffle:
+                for k, v in prev.items():
+                    spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
 
     res_rows, sec_rows = run("rows_broadcast", 5_000_000, True)
-    res_anti, sec_anti = run("anti_join_shuffle", 0, True)
+    res_anti, sec_anti = run("anti_join_shuffle", 0, True, force_shuffle=True)
     res_bm, sec_bm = run("bitmap_broadcast", 0, False)
     assert res_anti == res_rows, "anti-join path diverged"
     assert res_bm == res_rows, "bitmap path diverged"

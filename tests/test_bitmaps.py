@@ -1,6 +1,6 @@
-"""Per-bin tombstone bitmaps (index/bitmaps.py): correctness vs the
-row anti-join, dense/sparse packing, and the no-shuffle plan guarantee
-above the row-broadcast ceiling."""
+"""Word-level tombstone bitmaps (index/bitmaps.py): correctness vs the
+row anti-join, bit packing through the real delete commit, and the
+no-shuffle plan guarantee above the row-broadcast ceiling."""
 
 import random
 
@@ -8,12 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from noise_spark.corpus import generate_pages
-from noise_spark.index.bitmaps import (
-    BIN_SIZE,
-    SPARSE_MAX,
-    build_tombstone_bitmaps,
-    not_deleted,
-)
+from noise_spark.index.bitmaps import build_tombstone_bitmaps, not_deleted
 from noise_spark.index.build import BuildConfig, build_index
 from noise_spark.index.incremental import delete_docs
 from noise_spark.query import plan as P
@@ -21,21 +16,17 @@ from noise_spark.query.engine import IndexReader
 
 
 def test_bitmaps_equal_anti_join(spark):
-    """Randomized + adversarial doc_id sets: the bitmap mask removes
-    exactly the anti-join's rows. Covers both packings (a dense bin
-    with > SPARSE_MAX deletes, sparse bins elsewhere), word boundaries
-    (offsets 63/64), the sign bit (off % 64 == 63 → long bit 63), bin
-    boundaries, and doc universe rows in bins with no deletes at all."""
+    """Randomized + adversarial doc_id sets: the word-level mask removes
+    exactly the anti-join's rows. Covers word boundaries (offsets
+    63/64), the sign bit (doc_id % 64 == 63 -> long bit 63), full words
+    (64 consecutive deletes), and universe rows whose word carries no
+    deletes at all."""
     rng = random.Random(7)
-    dense_bin_base = 3 * BIN_SIZE
     tombs = set()
-    # dense bin: way past SPARSE_MAX, includes every adversarial offset
-    tombs |= {dense_bin_base + o for o in rng.sample(range(BIN_SIZE), SPARSE_MAX * 3)}
-    tombs |= {dense_bin_base + o for o in (0, 1, 62, 63, 64, 65, BIN_SIZE - 1)}
-    # sparse bins: scattered singletons incl. boundary offsets
-    tombs |= {0, 63, BIN_SIZE - 1, BIN_SIZE, 5 * BIN_SIZE + 64}
-    tombs |= {rng.randrange(8 * BIN_SIZE) for _ in range(200)}
-    universe = set(rng.randrange(8 * BIN_SIZE) for _ in range(5000)) | set(
+    tombs |= set(range(640, 704))  # one full word + spill into the next
+    tombs |= {0, 1, 62, 63, 64, 65, 127, 128, 100_000, 100_063}
+    tombs |= {rng.randrange(500_000) for _ in range(3000)}
+    universe = set(rng.randrange(500_000) for _ in range(5000)) | set(
         rng.sample(sorted(tombs), 500)
     )
     tombs_df = spark.createDataFrame([(d,) for d in sorted(tombs)], "doc_id long")
@@ -43,9 +34,8 @@ def test_bitmaps_equal_anti_join(spark):
         [(d, d % 97) for d in sorted(universe)], "doc_id long, payload long"
     )
     bm = build_tombstone_bitmaps(tombs_df)
-    # both packings actually present
-    kinds = {(r["offs"] is None, r["words"] is None) for r in bm.collect()}
-    assert (True, False) in kinds and (False, True) in kinds
+    rows = {r["wbin"]: r["word"] for r in bm.collect()}
+    assert rows[10] == -1  # docs 640..703: the full word is all ones
     got = {
         (r["doc_id"], r["payload"]) for r in not_deleted(uni_df, bm).collect()
     }
@@ -59,9 +49,7 @@ def test_bitmaps_equal_anti_join(spark):
 
 @pytest.fixture(scope="module")
 def deleted_index(spark, tmp_path_factory):
-    """2k docs (all in docID bin 0), 1.2k deleted — forces the DENSE
-    per-bin packing (> SPARSE_MAX in-bin) through the real delete
-    commit."""
+    """2k docs, 1.6k deleted through the real delete commit."""
     idx = str(tmp_path_factory.mktemp("bm") / "idx")
     build_index(
         spark,
@@ -82,9 +70,16 @@ def test_delete_commit_writes_bitmaps_stage(spark, deleted_index):
     man = IndexCatalog(deleted_index).current_manifest()
     assert "tombstone_bitmaps" in man["stages"]
     bm = spark.read.parquet(man["stages"]["tombstone_bitmaps"]["path"])
-    rows = bm.collect()
-    assert len(rows) == 1 and rows[0]["bin"] == 0
-    assert rows[0]["offs"] is None and rows[0]["words"] is not None  # dense
+    rows = {r["wbin"]: r["word"] for r in bm.collect()}
+    # 2000 docs -> 32 word rows (64 docs each), every word carries the
+    # doc_id % 5 != 0 pattern
+    assert set(rows) == set(range(32))
+    want = 0
+    for off in range(64):
+        if off % 5 != 0:  # wbin 0: doc_id == off
+            want |= 1 << off
+    got = rows[0] & ((1 << 64) - 1)
+    assert got == want
 
 
 def test_bitmap_path_matches_row_path_and_never_shuffles(spark, deleted_index, monkeypatch):
@@ -135,7 +130,8 @@ def test_wand_mask_cogroup_matches_row_path(spark, deleted_index, monkeypatch):
 
 
 def test_wand_mask_cogroup_sparse_bin(spark, tmp_path, monkeypatch):
-    """Sparse-packed (offs) masks through the WAND cogroup expansion."""
+    """Few-delete masks (boundary + sign-bit offsets) through the WAND
+    cogroup expansion."""
     idx = str(tmp_path / "idx")
     build_index(
         spark,
@@ -153,8 +149,11 @@ def test_wand_mask_cogroup_sparse_bin(spark, tmp_path, monkeypatch):
     ]
     monkeypatch.setattr(IndexReader, "BROADCAST_TOMBSTONES_MAX", 0)
     reader = IndexReader(spark, idx)
-    bm = reader._tombstone_bitmaps.collect()
-    assert len(bm) == 1 and bm[0]["words"] is None and list(bm[0]["offs"]) == [0, 63, 64, 199]
+    bm = {r["wbin"]: r["word"] for r in reader._tombstone_bitmaps.collect()}
+    # 0 and 63 share word 0 (incl. the sign bit → negative long),
+    # 64 opens word 1
+    assert bm[0] == 1 - (1 << 63)
+    assert bm[1] == 1 and bm[3] == 1 << (199 - 192)
     got = [
         (r["doc_id"], round(r["score"], 9))
         for r in reader.search_wand(node, k=10).collect()
