@@ -44,7 +44,13 @@ from typing import Iterable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["VARIANT_TEXT_SUFFIX", "FULLDOC_COL", "ingest_json", "indexable_fields"]
+__all__ = [
+    "VARIANT_TEXT_SUFFIX",
+    "FULLDOC_COL",
+    "ingest_json",
+    "infer_field_schemas",
+    "indexable_fields",
+]
 
 VARIANT_TEXT_SUFFIX = "__text"
 FULLDOC_COL = "_doc"
@@ -61,6 +67,7 @@ def ingest_json(
     docs: DataFrame | Iterable,
     id_field: str = "_id",
     number_docs: bool = True,
+    schemas: dict | None = None,
 ) -> DataFrame:
     """Ingest schemaless JSON documents.
 
@@ -72,6 +79,17 @@ def ingest_json(
     discovered top-level field (typed when the merged schema is
     concrete, variant when conflicted), ``<f>__text`` shadows for
     variant fields, and the whole doc as ``_doc``.
+
+    ``schemas``: optional ``{field: schema_of_variant string}`` map
+    that SKIPS the inference aggregation — the 100 TB path: schema
+    inference is inherently a full pass over the input (exactly like
+    ``spark.read.json``'s), so a production pipeline infers once (on a
+    first batch / sample via :func:`infer_field_schemas`) and reuses
+    the result, making ingestion single-pass. A doc whose field
+    conflicts with a supplied CONCRETE schema try_casts — lossless to
+    a STRING target (variant-to-string renders the JSON text), null
+    for other targets — and its true value always remains in ``_doc``;
+    supply ``"VARIANT"`` for fields that must stay dynamic.
     """
     if isinstance(docs, DataFrame):
         if len(docs.columns) != 1:
@@ -89,19 +107,11 @@ def ingest_json(
         numbered = number_docs
     parsed = src.withColumn(FULLDOC_COL, F.parse_json("_js")).drop("_js")
 
-    # ONE distributed agg: field set + merged per-field schema
-    schemas = {
-        r["k"]: r["sch"]
-        for r in parsed.select(
-            F.explode(F.col(FULLDOC_COL).try_cast("map<string,variant>")).alias(
-                "k", "v"
-            )
-        )
-        .groupBy("k")
-        .agg(F.schema_of_variant_agg("v").alias("sch"))
-        .collect()
-        if r["k"] != id_field
-    }
+    if schemas is None:
+        # ONE distributed agg: field set + merged per-field schema
+        schemas = infer_field_schemas(parsed, id_field=id_field)
+    else:
+        schemas = {k: v for k, v in schemas.items() if k != id_field}
 
     cols = []
     if numbered:
@@ -126,6 +136,28 @@ def ingest_json(
             cols.append(fld.try_cast(_struct_ddl(sch)).alias(name))
     cols.append(F.col(FULLDOC_COL))
     return parsed.select(*cols)
+
+
+def infer_field_schemas(parsed: DataFrame, id_field: str = "_id") -> dict:
+    """``{field: merged schema_of_variant string}`` over a frame whose
+    ``_doc`` column holds parsed variants — ONE distributed
+    map-side-combined aggregation (explode the top-level map, merge
+    per-field schemas); the result is one row per field, driver-safe
+    at any corpus size. Run it on a first batch / deterministic sample
+    and pass the result to :func:`ingest_json` ``schemas=`` to make
+    steady-state ingestion single-pass."""
+    return {
+        r["k"]: r["sch"]
+        for r in parsed.select(
+            F.explode(F.col(FULLDOC_COL).try_cast("map<string,variant>")).alias(
+                "k", "v"
+            )
+        )
+        .groupBy("k")
+        .agg(F.schema_of_variant_agg("v").alias("sch"))
+        .collect()
+        if r["k"] != id_field
+    }
 
 
 def indexable_fields(df: DataFrame) -> tuple:

@@ -46,6 +46,42 @@ def test_ingest_types(spark):
     assert {r["url"] for r in df.select("url").collect()} == {"1", "2", "3"}
 
 
+def test_schemas_override_skips_inference(spark):
+    """The 100 TB single-pass path: a pre-supplied schema map makes
+    ingest_json skip the inference aggregation and produce the same
+    frame; a doc conflicting with a supplied concrete schema casts to
+    null for that column while its true value stays in _doc."""
+    from noise_spark.ingest import infer_field_schemas
+
+    docs = [json.dumps(d) for d in DOCS]
+    inferred = ingest_json(spark, docs)
+    from pyspark.sql import functions as F
+
+    parsed = spark.createDataFrame([(d,) for d in docs], "_js string").select(
+        F.parse_json("_js").alias(FULLDOC_COL)
+    )
+    schemas = infer_field_schemas(parsed)
+    assert schemas["t"] == "STRING" and "VARIANT" in schemas["tag"]
+    reused = ingest_json(spark, docs, schemas=schemas)
+    assert reused.columns == inferred.columns
+    assert dict(reused.dtypes) == dict(inferred.dtypes)
+    a = {r["url"]: r["t"] for r in inferred.collect()}
+    b = {r["url"]: r["t"] for r in reused.collect()}
+    assert a == b
+    # conflicting doc under a CONCRETE supplied schema: STRING targets
+    # render the JSON text (lossless), non-string targets null; the
+    # true value always remains in _doc
+    forced = ingest_json(
+        spark,
+        docs + [json.dumps({"_id": "4", "t": "x", "n": "not-a-number", "tag": "d"})],
+        schemas={"t": "STRING", "n": "BIGINT", "tag": "STRING"},
+    )
+    rows = {r["url"]: r for r in forced.collect()}
+    assert rows["1"]["tag"] == "a" and rows["2"]["tag"] == '["a","b"]'
+    assert rows["4"]["n"] is None  # string under BIGINT → null
+    assert '"tag":["a","b"]' in rows["2"][FULLDOC_COL].toJson().replace(" ", "")
+
+
 def test_wholedoc_return_hides_index_shadows(spark, tmp_path):
     """`return .` on a schemaless index renders the DOCUMENT — the
     `<f>__text*` shadow columns are index inputs derived from the
