@@ -1590,15 +1590,21 @@ def run_query(reader, text: str, params: dict | None = None, default_k: int = 10
     if eff_limit is not None:
         out = out.limit(eff_limit)
     if join_post:
-        # deferred payload fetch for the k emitted rows only; re-apply
-        # the ordering (trivial at k rows) since a join drops it
-        out = out.join(
+        # deferred payload fetch for the k emitted rows only. INNER
+        # join with the k rows BROADCAST: a left-outer with the tiny
+        # side preserved cannot broadcast (the outer side must stream),
+        # and would shuffle the whole doc store for a k-row fetch.
+        # Inner is equivalent here — every emitted doc_id exists in the
+        # doc store by construction (match sets root in the same
+        # visible generations minus the same tombstones). Re-apply the
+        # ordering (trivial at k rows) since a join drops it.
+        out = (
             docs.select(
                 "doc_id", *[F.col(_escape_col(c)).alias(c) for c in join_post]
-            ),
-            "doc_id",
-            "left",
-        ).orderBy(*order_cols)
+            )
+            .join(F.broadcast(out), "doc_id", "inner")
+            .orderBy(*order_cols)
+        )
 
     available = set(out.columns) | {"doc_id"}
     if spec.ret is None:

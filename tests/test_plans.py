@@ -226,9 +226,12 @@ def test_return_payload_joins_after_limit(plan_reader):
         default_k=None,
     )
     p = df._jdf.queryExecution().optimizedPlan().toString()
-    assert "GlobalLimit" in p and "Join LeftOuter" in p
+    assert "GlobalLimit" in p and "Join Inner" in p
     # parents print first: the deferred payload join appears above the limit
-    assert p.index("Join LeftOuter") < p.index("GlobalLimit"), p[:1500]
+    assert p.index("Join Inner") < p.index("GlobalLimit"), p[:1500]
+    # the k-row side broadcasts; the doc store is never shuffled for it
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in phys and "SortMergeJoin" not in phys
     # without a limit nothing is deferred — single pre-join, no re-sort
     df2 = run_query(
         plan_reader,
