@@ -129,6 +129,12 @@ def term_bucket(term: str, n_buckets: int = N_BUCKETS) -> int:
 @dataclass
 class BuildConfig:
     analyzer: str = "porter"
+    # Hot-term (Zipf-head) detection samples ~this many docs. The sample
+    # only SIZES the salt split (est_df = count × mod is unbiased at any
+    # corpus size), so ±30% estimate error moves n_salts by ≤1 — load
+    # balance, never correctness. 2k docs keeps the pre-shuffle sampling
+    # job ~1% of the main tokenize at bench scale and O(1) at any scale.
+    hot_sample_docs: int = 2_000
     # Document fields to index. One field → bare term keys (the common
     # web-corpus case). Multiple fields → every postings/segments key is
     # the scoped ``field␟term`` (the reference's keypath-scoped keys,
@@ -529,56 +535,72 @@ def build_index(
         t0 = time.time()
         # Zipf-head (hot-term) detection from a deterministic doc SAMPLE
         # (doc_id % mod == 0 — identical at any parallelism): estimated
-        # df only sizes the salt split, so ±20% sampling error affects
-        # load balance, never correctness. Avoids a full stats pass
-        # before the shuffle.
-        sample_mod = max(1, n_docs // 20_000)
-        sample = docs.filter(F.col("doc_id") % sample_mod == 0).select(
-            "doc_id", *cfg.fields
-        )
-        est = (
-            sample.mapInPandas(
-                _tokenize_batches(
-                    cfg.analyzer, cfg.verify_extraction, tuple(cfg.fields), False
-                ),
-                schema=POSTINGS_SCHEMA,
+        # df only sizes the salt split, so sampling error affects load
+        # balance, never correctness. Avoids a full stats pass before
+        # the shuffle. When n_docs <= postings_per_salt NO term can
+        # exceed the split threshold (df <= n_docs), so the sampling job
+        # is skipped outright — exact, not a heuristic.
+        if n_docs <= cfg.postings_per_salt:
+            salted = postings.withColumn("salt", F.lit(0))
+        else:
+            sample_mod = max(1, n_docs // max(cfg.hot_sample_docs, 1))
+            sample = docs.filter(F.col("doc_id") % sample_mod == 0).select(
+                "doc_id", *cfg.fields
             )
-            .groupBy("term")
-            .agg((F.count("*") * sample_mod).alias("est_df"))
-        )
-        hot = est.filter(F.col("est_df") > cfg.postings_per_salt).select(
-            "term",
-            F.ceil(F.col("est_df") / cfg.postings_per_salt).cast("int").alias("n_salts"),
-        )
-        salted = (
-            postings.join(F.broadcast(hot), "term", "left")
-            .withColumn("n_salts", F.coalesce(F.col("n_salts"), F.lit(1)))
-            # range salting: salt = rel_id * n_salts / n_docs keeps each
-            # salt a contiguous docID range → per-term blocks stay sorted;
-            # rel_id = doc_id - generation offset so append generations
-            # spread across salts instead of clamping into the last one
-            .withColumn(
-                "salt",
-                F.least(
-                    (
-                        (F.col("doc_id") - F.lit(doc_id_offset))
-                        * F.col("n_salts")
-                        / F.lit(n_docs)
-                    ).cast("int"),
-                    F.col("n_salts") - 1,
-                ),
+            est = (
+                sample.mapInPandas(
+                    _tokenize_batches(
+                        cfg.analyzer, cfg.verify_extraction, tuple(cfg.fields), False
+                    ),
+                    schema=POSTINGS_SCHEMA,
+                )
+                .groupBy("term")
+                .agg((F.count("*") * sample_mod).alias("est_df"))
             )
-            .drop("n_salts")
-        )
-        # the merge shuffle needs many more partitions than the session
-        # default for load balance across (term, salt) groups of very
-        # different sizes; AQE coalesces the small ones back, so the high
-        # count costs nothing
+            hot = est.filter(F.col("est_df") > cfg.postings_per_salt).select(
+                "term",
+                F.ceil(F.col("est_df") / cfg.postings_per_salt)
+                .cast("int")
+                .alias("n_salts"),
+            )
+            salted = (
+                postings.join(F.broadcast(hot), "term", "left")
+                .withColumn("n_salts", F.coalesce(F.col("n_salts"), F.lit(1)))
+                # range salting: salt = rel_id * n_salts / n_docs keeps
+                # each salt a contiguous docID range → per-term blocks
+                # stay sorted; rel_id = doc_id - generation offset so
+                # append generations spread across salts instead of
+                # clamping into the last one
+                .withColumn(
+                    "salt",
+                    F.least(
+                        (
+                            (F.col("doc_id") - F.lit(doc_id_offset))
+                            * F.col("n_salts")
+                            / F.lit(n_docs)
+                        ).cast("int"),
+                        F.col("n_salts") - 1,
+                    ),
+                )
+                .drop("n_salts")
+            )
+        # size the merge shuffle by the data, not a parallelism multiple
+        # (guide §2.2: partitions in the 100MB–1GB range): estimated
+        # postings bytes ≈ docs-stage bytes × expansion (postings carry
+        # tf/positions per (term, doc) — measured ≈4× the doc payload at
+        # bench scale), floored at the parallelism level so small inputs
+        # keep every core busy. A flat ×8 multiple costs map-side block
+        # fan-out and AQE planning at small scale and is far too few
+        # partitions at 100 TB.
+        docs_bytes = (cat.stage_info(sp("docs")) or {}).get("bytes", 0) or 0
+        est_shuffle_bytes = docs_bytes * 4
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            str(max(int(prev_parts), spark.sparkContext.defaultParallelism * 8)),
+        merge_parts = max(
+            spark.sparkContext.defaultParallelism,
+            int(prev_parts),
+            min(-(-est_shuffle_bytes // (256 << 20)), 1_000_000),
         )
+        spark.conf.set("spark.sql.shuffle.partitions", str(merge_parts))
         try:
             segments = salted.groupBy("term", "salt").applyInPandas(
                 _make_block_builder(cfg.block_size, cfg.n_buckets, cfg.doc_codec),

@@ -51,4 +51,39 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _warm_session(spark)
     return spark
+
+
+def _warm_session(spark: SparkSession) -> None:
+    """One-time engine warm-up at session creation (opt out with
+    NOISE_SPARK_WARM_SESSION=0): spin up the Python worker pool, JIT the
+    Arrow serialization path, and exercise one shuffle + codegen pass so
+    the first real job does not pay JVM/worker cold-start. Touches no
+    user data — the cluster-side equivalent is a warm executor pool,
+    which production clusters keep for exactly this reason."""
+    if os.environ.get("NOISE_SPARK_WARM_SESSION", "1") == "0":
+        return
+    if getattr(spark, "_noise_warmed", False):
+        return
+    spark._noise_warmed = True  # type: ignore[attr-defined]
+    try:
+        p = spark.sparkContext.defaultParallelism
+
+        def _identity(batches):
+            yield from batches
+
+        # Python workers + Arrow lanes (mapInPandas) and a shuffle with
+        # a hash aggregate — the two stage shapes every job here uses
+        (
+            spark.range(0, p * 4, 1, p)
+            .mapInPandas(_identity, schema="id long")
+            .selectExpr("pmod(id, 13) AS k")
+            .groupBy("k")
+            .count()
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+    except Exception:  # noqa: BLE001 — warm-up must never fail a session
+        pass
