@@ -462,6 +462,11 @@ class IndexReader:
     # per docID bin.
     BROADCAST_TOMBSTONES_MAX = 5_000_000
 
+    # below this many total postings across a WAND query's terms, the
+    # global-θ seed job (a driver round-trip) costs more than the block
+    # skipping it enables can save (see search_wand)
+    SEED_MIN_POSTINGS = 262_144
+
     def _minus_tombstones(self, df: DataFrame) -> DataFrame:
         if self._tombstones is None:
             return df
@@ -791,6 +796,200 @@ class IndexReader:
 
         return grouped.mapInPandas(verify, schema=T.StructType([T.StructField("doc_id", T.LongType(), False)]))
 
+    # -- term-only boolean trees (single-scan lowering) -----------------------
+    # A term-only tree (Term / Or / And / Not nested to any depth) needs
+    # exactly ONE bucket-pruned segment decode: per-(doc) matched-term
+    # BITMASK via bit_or + JVM long bit-tests for the boolean, and the
+    # bitwise-pinned BM25 sum in the same aggregation. This replaces the
+    # old match-set-join lowering (AND = 2 scans + join, NOT = 3 scans)
+    # — guide §2.4: remove shuffles/scans outright.
+
+    @staticmethod
+    def _term_only(node: P.Node) -> bool:
+        if isinstance(node, P.Term):
+            return True
+        if isinstance(node, (P.Or, P.And)):
+            return bool(node.children) and all(
+                IndexReader._term_only(c) for c in node.children
+            )
+        if isinstance(node, P.Not):
+            return IndexReader._term_only(node.positive) and IndexReader._term_only(
+                node.negative
+            )
+        return False
+
+    def _tree_keys(self, node: P.Node) -> set[str]:
+        """Every index key a term-only tree references (both arms of a
+        NOT — negative-arm terms must join the scan as weightless
+        markers so the match expression can see them)."""
+        if isinstance(node, P.Term):
+            return {self._key(node.term, node.field)}
+        if isinstance(node, (P.Or, P.And)):
+            out: set[str] = set()
+            for c in node.children:
+                out |= self._tree_keys(c)
+            return out
+        return self._tree_keys(node.positive) | self._tree_keys(node.negative)
+
+    def _tree_expr(self, node: P.Node, mask, qbits: dict[str, int]):
+        """Lower a term-only boolean tree to JVM long bit-tests over the
+        doc's matched-term bitmask: Term → ``mask & bit != 0``, and
+        sibling Term children of an Or/And merge into ONE mask
+        comparison (``mask & m != 0`` any-of / ``mask & m == m``
+        all-of), so a flat query is a single long compare. Absent
+        (df=0) terms simply never set their bit, so they evaluate
+        correctly for free (an absent AND arm is unsatisfiable, an
+        absent OR arm contributes nothing, an absent negative arm
+        subtracts nothing)."""
+        if isinstance(node, P.Term):
+            b = qbits[self._key(node.term, node.field)]
+            return mask.bitwiseAND(F.lit(b)) != 0
+        if isinstance(node, (P.Or, P.And)):
+            is_or = isinstance(node, P.Or)
+            tb = 0
+            exprs = []
+            for c in node.children:
+                if isinstance(c, P.Term):
+                    tb |= qbits[self._key(c.term, c.field)]
+                else:
+                    exprs.append(self._tree_expr(c, mask, qbits))
+            if tb:
+                m = mask.bitwiseAND(F.lit(tb))
+                exprs.insert(0, (m != 0) if is_or else (m == F.lit(tb)))
+            e = exprs[0]
+            for e2 in exprs[1:]:
+                e = (e | e2) if is_or else (e & e2)
+            return e
+        return self._tree_expr(node.positive, mask, qbits) & ~self._tree_expr(
+            node.negative, mask, qbits
+        )
+
+    @staticmethod
+    def _lit_map(d: dict):
+        """map<string, T> of driver-side literals — replaces a
+        createDataFrame + broadcast-join of a per-query lookup table
+        with a plain expression (one job and one exchange fewer per
+        query; the values are the identical Python doubles/longs, so
+        downstream float arithmetic is bitwise unchanged)."""
+        return F.create_map(*[F.lit(x) for kv in d.items() for x in kv])
+
+    def _contrib_expr(self, wmap: dict[str, float], avgdl_map: dict[str, float]):
+        """Per-posting BM25 contribution with weights/avgdl as literal
+        maps keyed by term. Parenthesization mirrors oracle.bm25_tf_norm
+        exactly: w * ((tf*(k1+1)) / (tf + k1*((1-b) + b*(dl/avgdl))))."""
+        k1, b = self.k1, self.b
+        w = self._lit_map(wmap)[F.col("term")]
+        avgdl = self._lit_map(avgdl_map)[F.col("term")]
+        return w * (
+            (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / avgdl))
+            )
+        )
+
+    def _empty_scored(self) -> DataFrame:
+        return self.spark.createDataFrame([], "doc_id long, score double")
+
+    def _tree_scored(self, node: P.Node) -> DataFrame | None:
+        """Single-scan scored set for a term-only tree (<63 distinct
+        keys — one signed long of query-local bits), or None when the
+        tree shape doesn't qualify. Output is bitwise-identical to the
+        old multi-scan lowering: the score aggregates the SAME
+        ascending-term struct list (negative-arm marker rows carry
+        w=0.0, and adding +0.0 at any position of the running sum is an
+        IEEE identity), and the match set is the same boolean over the
+        same postings."""
+        if not self._term_only(node):
+            return None
+        keys = sorted(self._tree_keys(node))
+        if len(keys) >= 63:
+            return None
+        boosts = self._term_boosts(node)
+        dfs = self.term_dfs(sorted(boosts))
+        if not any(t in dfs for t in boosts):
+            # every positive-skeleton term is absent (df=0): no doc can
+            # satisfy the tree (a term-only match always requires at
+            # least one positive term present)
+            return self._empty_scored()
+        qbits = {t: 1 << i for i, t in enumerate(keys)}
+        wmap = {
+            t: (bm25_idf(self.n_docs, dfs[t]) * boosts[t] if t in dfs else 0.0)
+            for t in keys
+        }
+        avgdl_map = {t: self.field_avg_dl[self._field_of(t)] for t in keys}
+        match_expr = self._tree_expr(node, F.col("_mask"), qbits)
+        scored = (
+            self.postings_for(keys)
+            .withColumn("contrib", self._contrib_expr(wmap, avgdl_map))
+            .withColumn("bit", self._lit_map(qbits)[F.col("term")])
+            .groupBy("doc_id")
+            .agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("term", "contrib"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["contrib"],
+                ).alias("score"),
+                F.bit_or("bit").alias("_mask"),
+            )
+            .filter(match_expr)
+            .select("doc_id", "score")
+        )
+        return scored
+
+    def _positional_scored(self, node: P.Node) -> DataFrame:
+        """Single-scan scored set for a top-level Phrase/Proximity: ONE
+        positional segment decode whose groupBy computes the
+        bitwise-pinned BM25 sum AND collects the per-term position
+        payloads; candidates (all distinct terms present) then take one
+        Arrow-batched pattern verify. Replaces the old two-scan shape
+        (scoring scan + positional-match scan + join)."""
+        boosts = self._term_boosts(node)
+        dfs = self.term_dfs(sorted(boosts))
+        if any(t not in dfs for t in boosts):
+            # an absent term: the pattern can match nothing
+            return self._empty_scored()
+        keys = [self._key(t, node.field) for t in node.terms]
+        nt = len(boosts)
+        wmap = {t: bm25_idf(self.n_docs, dfs[t]) * boosts[t] for t in boosts}
+        avgdl_map = {t: self.field_avg_dl[self._field_of(t)] for t in boosts}
+        is_phrase = isinstance(node, P.Phrase)
+        window = getattr(node, "window", 0)
+        grouped = (
+            self._decode_segments(sorted(set(keys)), with_positions=True)
+            .withColumn("contrib", self._contrib_expr(wmap, avgdl_map))
+            .groupBy("doc_id")
+            .agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("term", "contrib"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["contrib"],
+                ).alias("score"),
+                F.count("*").alias("_nm"),
+                F.map_from_entries(
+                    F.collect_list(F.struct("term", "positions"))
+                ).alias("posmap"),
+            )
+            .filter(F.col("_nm") == nt)
+        )
+
+        def verify(iterator):
+            from ..index.codec import decode_positions_row
+
+            for pdf in iterator:
+                keep: list[tuple] = []
+                for doc_id, score, posmap in zip(
+                    pdf["doc_id"], pdf["score"], pdf["posmap"]
+                ):
+                    lists = [decode_positions_row(bytes(posmap[t])) for t in keys]
+                    if _positions_satisfy(lists, is_phrase, window):
+                        keep.append((doc_id, score))
+                yield pd.DataFrame(keep, columns=["doc_id", "score"]).astype(
+                    {"doc_id": "int64", "score": "float64"}
+                )
+
+        return grouped.mapInPandas(verify, schema="doc_id long, score double")
+
     # -- scoring -------------------------------------------------------------------
     def _term_boosts(self, node: P.Node) -> dict[str, float]:
         """Positive scoring terms of a plan as INDEX KEYS (field-scoped
@@ -829,6 +1028,15 @@ class IndexReader:
         shaping the candidate set."""
         if isinstance(node, (P.ExactMatch, P.FieldEq, P.FieldRange, P.AllDocs, P.Bind, P.BboxOverlap, P.ElemWord, P.ElemWordAll)) or not self._term_boosts(node):
             return self._match_set(node).withColumn("score", F.lit(1.0))
+        # single-scan lowerings first: a term-only tree becomes a bitmask
+        # boolean over ONE bucket-pruned decode (instead of match-set
+        # joins of per-arm scans), and a top-level phrase/proximity
+        # folds scoring + position verify into ONE positional decode
+        tree_plan = self._tree_scored(node)
+        if tree_plan is not None:
+            return tree_plan
+        if isinstance(node, (P.Phrase, P.Proximity)) and self.has_positions:
+            return self._positional_scored(node)
         boosts = self._term_boosts(node)
         terms = sorted(boosts)
         dfs = self.term_dfs(terms)
@@ -846,30 +1054,18 @@ class IndexReader:
             return self._match_set(node).withColumn(
                 "score", F.lit(0.0).cast("double")
             )
-        # pandas-backed → one Arrow partition (a plain-list createDataFrame
-        # would parallelize to 32 Python partitions and cost ~1 s per query)
-        wdf = F.broadcast(
-            self.spark.createDataFrame(
-                pd.DataFrame(weights, columns=["term", "w", "avgdl"]),
-                "term string, w double, avgdl double",
-            )
-        )
-        k1, b = self.k1, self.b
-        # parenthesization mirrors oracle.bm25_tf_norm exactly:
-        # w * ((tf*(k1+1)) / (tf + k1*((1-b) + b*(dl/avgdl))));
-        # avgdl is per-term (= the term's FIELD average length)
-        contrib = F.col("w") * (
-            (F.col("tf") * F.lit(k1 + 1.0))
-            / (
-                F.col("tf")
-                + F.lit(k1)
-                * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.col("avgdl")))
-            )
-        )
+        # weights/avgdl as literal maps — no per-query lookup-table
+        # createDataFrame + broadcast join (identical doubles, so the
+        # float sum is bitwise unchanged); avgdl is per-term (= the
+        # term's FIELD average length)
         scored = (
             self.postings_for([t for t, _, _ in weights])
-            .join(wdf, "term")
-            .withColumn("contrib", contrib)
+            .withColumn(
+                "contrib",
+                self._contrib_expr(
+                    {t: w for t, w, _ in weights}, {t: a for t, _, a in weights}
+                ),
+            )
             .groupBy("doc_id")
             .agg(
                 F.aggregate(
@@ -942,63 +1138,9 @@ class IndexReader:
             {t for node in queries.values() for t in self._term_boosts(node)}
         )
         dfs = self.term_dfs(all_terms)
-
-        def _term_only(node: P.Node) -> bool:
-            if isinstance(node, P.Term):
-                return True
-            if isinstance(node, (P.Or, P.And)):
-                return bool(node.children) and all(
-                    _term_only(c) for c in node.children
-                )
-            if isinstance(node, P.Not):
-                return _term_only(node.positive) and _term_only(node.negative)
-            return False
-
-        def _tree_keys(node: P.Node) -> set[str]:
-            """Every index key a term-only tree references (both arms of
-            a NOT — negative-arm terms must join the scan as weightless
-            markers so the match expression can see them)."""
-            if isinstance(node, P.Term):
-                return {self._key(node.term, node.field)}
-            if isinstance(node, (P.Or, P.And)):
-                out: set[str] = set()
-                for c in node.children:
-                    out |= _tree_keys(c)
-                return out
-            return _tree_keys(node.positive) | _tree_keys(node.negative)
-
-        def _tree_expr(node: P.Node, mask, qbits: dict[str, int]):
-            """Lower a term-only boolean tree to JVM long bit-tests over
-            the doc's matched-term bitmask: Term → ``mask & bit != 0``,
-            and sibling Term children of an Or/And merge into ONE mask
-            comparison (``mask & m != 0`` any-of / ``mask & m == m``
-            all-of), so a flat query is a single long compare. Absent
-            (df=0) terms simply never set their bit, so they evaluate
-            correctly for free (an absent AND arm is unsatisfiable, an
-            absent OR arm contributes nothing, an absent negative arm
-            subtracts nothing)."""
-            if isinstance(node, P.Term):
-                b = qbits[self._key(node.term, node.field)]
-                return mask.bitwiseAND(F.lit(b)) != 0
-            if isinstance(node, (P.Or, P.And)):
-                is_or = isinstance(node, P.Or)
-                tb = 0
-                exprs = []
-                for c in node.children:
-                    if isinstance(c, P.Term):
-                        tb |= qbits[self._key(c.term, c.field)]
-                    else:
-                        exprs.append(_tree_expr(c, mask, qbits))
-                if tb:
-                    m = mask.bitwiseAND(F.lit(tb))
-                    exprs.insert(0, (m != 0) if is_or else (m == F.lit(tb)))
-                e = exprs[0]
-                for e2 in exprs[1:]:
-                    e = (e | e2) if is_or else (e & e2)
-                return e
-            return _tree_expr(node.positive, mask, qbits) & ~_tree_expr(
-                node.negative, mask, qbits
-            )
+        _term_only = self._term_only
+        _tree_keys = self._tree_keys
+        _tree_expr = self._tree_expr
 
         def _not_neg(x):
             # unary on purpose: pyspark HOF lambdas dispatch on arity
@@ -1340,7 +1482,7 @@ class IndexReader:
         node: P.Node,
         k: int = 10,
         n_bins: int | None = None,
-        seed_theta: bool = True,
+        seed_theta: bool | None = None,
     ) -> DataFrame:
         """Top-k via distributed block-max WAND. Supports flat Or/And of
         Terms (the scored-retrieval hot path); other plans fall back to
@@ -1396,7 +1538,18 @@ class IndexReader:
         # already engaged instead of θ=0. Multi-term only: with ONE term
         # each bin's heap fills immediately and block UBs already bind,
         # so the seed job can never pay for its own driver round-trip
-        # (measured: +28% on q_term_head_wand in round 2).
+        # (measured: +28% on q_term_head_wand in round 2). Cost-gated on
+        # the EXACT total postings count (dfs are already collected):
+        # the seed job is a fixed extra driver round-trip, and the most
+        # it can save is the exhaustive decode of Σdf postings — below
+        # ~256k postings (~2k blocks, tens of ms of numpy decode) the
+        # round-trip always costs more than the skip saves; above it the
+        # saving grows with list length while the seed stays O(1).
+        # Rank-identity is unaffected either way (θ only prunes).
+        # ``seed_theta``: None = adaptive (the cost gate), True = force
+        # on (tests pin the seeded behavior), False = off.
+        if seed_theta is None:
+            seed_theta = sum(dfs[t] for t in weights) >= self.SEED_MIN_POSTINGS
         theta0 = (
             self._seed_theta(w_map, k)
             if (mode == "or" and seed_theta and len(w_map) > 1)

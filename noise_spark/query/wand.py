@@ -159,6 +159,89 @@ class _Cursor:
             self._enter_block()
 
 
+def _single_term_topk(
+    weight: float,
+    blocks: list[dict],
+    lo: int,
+    hi: int,
+    k: int,
+    avg_dl: float,
+    k1: float,
+    b: float,
+    theta0: float,
+    exclude: "np.ndarray | None",
+    stats: dict | None,
+) -> list[tuple[int, float]]:
+    """Degenerate WAND (one term): no pivot exists, so the per-doc BMW
+    loop is pure overhead. Identical algorithm, vectorized — process
+    blocks in UB-DESCENDING order (θ converges fastest), stop at the
+    first block whose UB is strictly below θ (every later block's UB is
+    ≤ it, and a block's docs score ≤ its UB, so nothing droppable is
+    dropped; ties at θ are still evaluated for the doc_id tie-break).
+    Scores are ``weight * tf_norm`` on the same float64 path as
+    ``_Cursor._decode_payload``, so results are bitwise identical."""
+    for r in blocks:
+        r["_ub"] = weight * _tf_norm_ub(r["max_tf"], r["min_dl"], avg_dl, k1, b)
+    order = sorted(blocks, key=lambda r: (-r["_ub"], r["first_doc"]))
+    theta = theta0
+    cd: list[np.ndarray] = []  # candidate doc ids
+    cs: list[np.ndarray] = []  # candidate scores
+    n_cand = 0
+
+    def prune() -> None:
+        nonlocal cd, cs, n_cand, theta
+        docs = np.concatenate(cd)
+        scores = np.concatenate(cs)
+        if docs.size > k:
+            keep = np.lexsort((docs, -scores))[:k]
+            docs, scores = docs[keep], scores[keep]
+        cd, cs = [docs], [scores]
+        n_cand = docs.size
+        if n_cand >= k:
+            theta = max(theta, float(scores.min()))
+
+    for blk in order:
+        if blk["_ub"] < theta:
+            break
+        if blk["last_doc"] < lo or blk["first_doc"] >= hi:
+            continue
+        if stats is not None:
+            stats["blocks_positioned"] = stats.get("blocks_positioned", 0) + 1
+        if blk.get("codec") == "for":
+            docs = codec.for_decode(blk["docs"])
+        else:
+            docs = codec.delta_decode(blk["docs"])
+        mask = (docs >= lo) & (docs < hi)
+        if exclude is not None and exclude.size:
+            mask &= ~np.isin(docs, exclude)
+        if not mask.any():
+            continue
+        if stats is not None:
+            stats["blocks_decoded"] = stats.get("blocks_decoded", 0) + 1
+        tfs = codec.varbyte_decode(blk["tfs"]).astype(np.float64)
+        dls = codec.varbyte_decode(blk["dls"]).astype(np.float64)
+        tf_norm = (tfs * (k1 + 1.0)) / (tfs + k1 * ((1.0 - b) + b * (dls / avg_dl)))
+        contrib = (weight * tf_norm)[mask]
+        if theta > 0.0:
+            above = contrib >= theta
+            if not above.any():
+                continue
+            cd.append(docs[mask][above])
+            cs.append(contrib[above])
+        else:
+            cd.append(docs[mask])
+            cs.append(contrib)
+        n_cand += cd[-1].size
+        if n_cand >= k:
+            prune()
+    if not cd:
+        return []
+    prune()
+    docs, scores = cd[0], cs[0]
+    idx = np.lexsort((docs, -scores))[:k]
+    return [(int(docs[i]), float(scores[i])) for i in idx]
+
+
 def wand_bin(
     term_blocks: dict[str, tuple[float, list[dict]]],
     lo: int,
@@ -185,6 +268,14 @@ def wand_bin(
     make the global top-k. ``stats``: optional dict accumulating
     ``blocks_decoded``. Returns [(doc_id, score)] sorted (-score, doc).
     """
+    nonempty = [(t, w, blocks) for t, (w, blocks) in term_blocks.items() if blocks]
+    if len(nonempty) == 1 and mode == "or":
+        t, w, blocks = nonempty[0]
+        return _single_term_topk(
+            w, blocks, lo, hi, k,
+            avg_dls.get(t, avg_dl) if avg_dls else avg_dl,
+            k1, b, theta0, exclude, stats,
+        )
     cursors = [
         _Cursor(
             t, w, blocks, lo, hi,

@@ -68,6 +68,9 @@ def _warm_session(spark: SparkSession) -> None:
         return
     spark._noise_warmed = True  # type: ignore[attr-defined]
     try:
+        import shutil
+        import tempfile
+
         p = spark.sparkContext.defaultParallelism
 
         def _identity(batches):
@@ -85,5 +88,23 @@ def _warm_session(spark: SparkSession) -> None:
             .mode("overwrite")
             .save()
         )
+        # grouped-map (applyInPandas) lane + range partitioner — the
+        # other two stage shapes (segment merge, docID numbering)
+        (
+            spark.range(0, p * 4, 1, 4)
+            .repartitionByRange(4, "id")
+            .groupBy("id")
+            .applyInPandas(lambda k, g: g, schema="id long")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        # parquet writer/reader + output committer JIT on a 2-row table
+        d = tempfile.mkdtemp(prefix="noise_spark_warm_")
+        try:
+            spark.range(0, 2).write.mode("overwrite").parquet(d)
+            spark.read.parquet(d).count()
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
     except Exception:  # noqa: BLE001 — warm-up must never fail a session
         pass
