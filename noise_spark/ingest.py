@@ -113,17 +113,19 @@ def ingest_json(
     else:
         schemas = {k: v for k, v in schemas.items() if k != id_field}
 
+    from .query.variant import v_seg, v_text  # noqa: F811
+
     cols = []
     if numbered:
         cols.append(F.col("doc_id"))
     cols.append(
-        F.try_variant_get(FULLDOC_COL, f"$.{id_field}", "string").alias("url")
+        F.try_variant_get(FULLDOC_COL, f"${v_seg(id_field)}", "string").alias("url")
     )
-    from .query.variant import v_text
+    from .query.variant import v_seg, v_text
 
     for name in sorted(schemas):
         sch = schemas[name]
-        fld = F.try_variant_get(FULLDOC_COL, f"$.{name}", "variant")
+        fld = F.try_variant_get(FULLDOC_COL, f"${v_seg(name)}", "variant")
         if "VARIANT" in sch or sch == "VOID":
             # conflicted (or all-null) → variant + one full-text shadow
             # per ARRAY DEPTH (the reference's arraypath-scoped word

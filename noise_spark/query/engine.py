@@ -199,9 +199,17 @@ class IndexReader:
         # indexes): lets _minus_tombstones stay a BROADCAST join above
         # the row-broadcast ceiling (index/bitmaps.py)
         self._tombstone_bitmaps: DataFrame | None = None
+        self._n_bitmap_words = 0
         if self._n_tombstones and "tombstone_bitmaps" in stages:
             self._tombstone_bitmaps = spark.read.parquet(
                 stages["tombstone_bitmaps"]["path"]
+            )
+            # mask-row count from committed lineage (no job); sizes the
+            # broadcast-vs-join decision in _minus_tombstones. Missing
+            # lineage (degraded commit) → assume small: the mask table
+            # of a legacy/degraded index predates multi-GB deletes.
+            self._n_bitmap_words = int(
+                stages["tombstone_bitmaps"].get("rows", 0) or 0
             )
         self._term_stats_delta = (
             stages["term_stats_delta"]["path"] if "term_stats_delta" in stages else None
@@ -274,11 +282,17 @@ class IndexReader:
         keys: set[str] = set()
         if pos:
             shadow = f"{node.field}{VARIANT_TEXT_SUFFIX}{depth}"
-            try:
-                for terms, _w in pos:
-                    keys |= {self._key(t, shadow) for t in terms}
-            except ValueError:
-                keys = set()  # typed corpus without depth shadows
+            # only prefilter through the index when the depth shadow is
+            # actually INDEXED (schemaless ingest). On a typed corpus the
+            # shadow field does not exist — _key would return a dead
+            # scoped key (zero candidates) and silently drop true matches
+            # from the stored array column — so fall through to the
+            # field-present + Arrow-verify path, which computes the
+            # correct same-element answer from the stored value.
+            if shadow in self.field_avg_dl:
+                keys = {
+                    self._key(t, shadow) for terms, _w in pos for t in terms
+                }
         if keys:
             cand = self.postings_for(sorted(keys)).select("doc_id").distinct()
             dv = dv.join(cand, "doc_id", "left_semi")
@@ -453,14 +467,19 @@ class IndexReader:
     # broadcast (a doc_id column of 5M longs is ~40 MB serialized —
     # comfortably a map-side hash filter, no shuffle of the decoded
     # postings). Above it the per-bin bitmap view takes over
-    # (index/bitmaps.py): the mask table is ≤ min(8·n, universe/8)
-    # bytes — 2×10⁹ deletes over 10¹⁰ docs broadcast as ≤1.25 GB — so
-    # delete application NEVER shuffles the match set; only a legacy
-    # pre-bitmap index falls through to the shuffling anti-join, which
-    # the compaction policy bounds (fold at 20% tombstones). The WAND
-    # path takes none of these — it cogroups a BINNED tombstone view
-    # per docID bin.
+    # (index/bitmaps.py): each mask row is two longs, so the table is
+    # ≤ min(16·n, universe/4) bytes — 2×10⁹ deletes over 10¹⁰ docs
+    # broadcast as ≤2.5 GB — so delete application avoids shuffling the
+    # match set up to BROADCAST_BITMAP_MAX_WORDS mask rows (~2 GB
+    # built); beyond that (or on a legacy pre-bitmap index) it falls
+    # back to the shuffling anti-join, which the compaction policy
+    # bounds (fold at 20% tombstones). The WAND path takes none of
+    # these — it cogroups a BINNED tombstone view per docID bin.
     BROADCAST_TOMBSTONES_MAX = 5_000_000
+    # mask rows above which the bitmap side itself is too big to
+    # broadcast safely (16 bytes/row → ~2 GB; the hard broadcast cap is
+    # 8 GB and every executor holds the built relation)
+    BROADCAST_BITMAP_MAX_WORDS = 128_000_000
 
     # below this many total postings across a WAND query's terms, the
     # global-θ seed job (a driver round-trip) costs more than the block
@@ -474,7 +493,10 @@ class IndexReader:
             # deterministic plan: don't leave the no-shuffle path to
             # AQE's runtime estimate of the tombstone side
             return df.join(F.broadcast(self._tombstones), "doc_id", "left_anti")
-        if self._tombstone_bitmaps is not None:
+        if (
+            self._tombstone_bitmaps is not None
+            and self._n_bitmap_words <= self.BROADCAST_BITMAP_MAX_WORDS
+        ):
             from ..index.bitmaps import not_deleted
 
             return not_deleted(df, self._tombstone_bitmaps)

@@ -1236,8 +1236,10 @@ def _nested_cap(key, ip, F):
 
 
 def _nested_cap_v(key, ip, V, F):
+    from .variant import v_seg
+
     def f(o):
-        t = o if key is None else F.try_variant_get(o, f"$.{key}", "variant")
+        t = o if key is None else F.try_variant_get(o, f"${v_seg(key)}", "variant")
         return F.filter(V.v_elements(t), ip)
 
     return f
@@ -1272,7 +1274,7 @@ def _bind_column(ret, F, binds: dict, variant_cols: frozenset = frozenset()):
         return lambda e: e[seg]
 
     def _vget(seg):
-        return lambda e: F.try_variant_get(e, f"$.{seg}", "variant")
+        return lambda e: F.try_variant_get(e, f"${V.v_seg(seg)}", "variant")
 
     arrs = []
     is_v = []

@@ -97,6 +97,30 @@ def v_range(col: Column, lo=None, hi=None, lo_inclusive=True, hi_inclusive=True)
     return F.coalesce(cond, F.lit(False))
 
 
+import re as _re
+
+_IDENT_RE = _re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
+def v_seg(key: str) -> str:
+    """Variant-path segment for an ARBITRARY object key. Plain
+    identifiers render as ``.key``; anything else (dots, brackets,
+    spaces, quotes, leading digits — the reference shreds arbitrary
+    keypaths, and the query language quotes them as ``.["a.b"]``)
+    bracket-quotes so the path addresses the literal key instead of
+    walking nested objects. Spark's variant path grammar accepts
+    ``['k']`` / ``["k"]`` with NO escape sequences, so a key containing
+    BOTH quote kinds is unaddressable — emit a never-matching segment
+    rather than an invalid path error."""
+    if _IDENT_RE.fullmatch(key):
+        return f".{key}"
+    if '"' not in key:
+        return f'["{key}"]'
+    if "'" not in key:
+        return f"['{key}']"
+    return '["\x00unaddressable\x00"]'
+
+
 def v_path(col: Column, segs) -> Column:
     """Walk return/order keypath segments over a variant: object key →
     ``$.key``, index → ``$[i]`` (out-of-bounds → NULL, the reference's
@@ -112,7 +136,7 @@ def v_path(col: Column, segs) -> Column:
         if s[0] == "i":
             col = F.try_variant_get(col, f"$[{int(s[1])}]", "variant")
         else:
-            col = F.try_variant_get(col, f"$.{s[1]}", "variant")
+            col = F.try_variant_get(col, f"${v_seg(s[1])}", "variant")
     return col
 
 
@@ -142,26 +166,26 @@ def v_cond_pred(cond: tuple):
         ip = v_cond_pred(inner)
 
         def arr_pred(e):
-            t = e if key is None else F.try_variant_get(e, f"$.{key}", "variant")
+            t = e if key is None else F.try_variant_get(e, f"${v_seg(key)}", "variant")
             return F.coalesce(F.exists(v_elements(t), ip), F.lit(False))
 
         return arr_pred
     if tag == "obj":
         _, key, inner = cond
         ip = v_cond_pred(inner)
-        return lambda e: ip(F.try_variant_get(e, f"$.{key}", "variant"))
+        return lambda e: ip(F.try_variant_get(e, f"${v_seg(key)}", "variant"))
     if tag == "bbox":
         _, key, (w, s, e_, n) = cond
 
         def bbox_pred(e):
-            t = e if key is None else F.try_variant_get(e, f"$.{key}", "variant")
+            t = e if key is None else F.try_variant_get(e, f"${v_seg(key)}", "variant")
             return bbox_overlap_json(t, w, s, e_, n)
 
         return bbox_pred
     _, key, op, v = cond
 
     def pred(e):
-        t = e if key is None else F.try_variant_get(e, f"$.{key}", "variant")
+        t = e if key is None else F.try_variant_get(e, f"${v_seg(key)}", "variant")
         if op == "==":
             return v_eq(t, v)
         if op == "!=":
@@ -259,8 +283,27 @@ def bbox_overlap_json(col: Column, w: float, s: float, e: float, n: float) -> Co
     indexed filter → array_min/max), usable inside higher-order
     lambdas — so the same predicate serves top-level fields, array
     elements, and bind conditions."""
+    js = F.to_json(col)
+    # numbers come ONLY from the value of the ``coordinates`` member(s)
+    # — digits inside string values or extra numeric members (e.g.
+    # {"type": "Point", "coordinates": [1, 2], "name": "Route 66"})
+    # must not corrupt the extents or the x/y parity. A GeoJSON
+    # coordinates value is a (nested) array of numbers, so it matches
+    # ``\[[^"{}]*\]`` exactly (no quotes or braces inside); every
+    # coordinates array holds x,y pairs, so concatenating several
+    # members (GeometryCollection) preserves even/odd parity. A BARE
+    # coordinate array (the value is the array itself) has no member
+    # key — only then fall back to the whole rendering.
+    coord_arrays = F.regexp_extract_all(
+        js, F.lit(r'"coordinates"\s*:\s*(\[[^"{}]*\])'), 1
+    )
+    src = (
+        F.when(F.size(coord_arrays) > 0, F.array_join(coord_arrays, ","))
+        .when(js.startswith("["), js)
+        .otherwise(F.lit(None))
+    )
     nums = F.transform(
-        F.regexp_extract_all(F.to_json(col), F.lit(_NUM_RE), 0),
+        F.regexp_extract_all(src, F.lit(_NUM_RE), 0),
         lambda x: x.cast("double"),
     )
     xs = F.filter(nums, lambda x, i: i % 2 == 0)

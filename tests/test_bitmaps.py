@@ -187,3 +187,27 @@ def test_legacy_index_without_bitmaps_falls_back(spark, deleted_index, tmp_path,
     assert reader._tombstone_bitmaps is None
     docs = {r["doc_id"] for r in reader.docs.select("doc_id").collect()}
     assert docs and all(d % 5 == 0 for d in docs)
+
+
+def test_bitmap_broadcast_guard_falls_back_to_join(spark, deleted_index, monkeypatch):
+    """Above BROADCAST_BITMAP_MAX_WORDS the mask table is too big to
+    broadcast safely (ADVICE r5): delete application must fall back to
+    the row anti-join (correct, shuffling) instead of forcing a
+    multi-GB broadcast."""
+    node = P.Or((P.Term("w00000"), P.Term("w00010")))
+    want = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in IndexReader(spark, deleted_index).search(node, k=10).collect()
+    ]
+    monkeypatch.setattr(IndexReader, "BROADCAST_TOMBSTONES_MAX", 0)
+    monkeypatch.setattr(IndexReader, "BROADCAST_BITMAP_MAX_WORDS", 0)
+    reader = IndexReader(spark, deleted_index)
+    assert reader._n_bitmap_words > 0
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in reader.search(node, k=10).collect()
+    ]
+    assert got == want
+    # the docs view must NOT carry the mask broadcast (guard tripped)
+    plan = reader.docs._jdf.queryExecution().executedPlan().toString()
+    assert "__tword" not in plan

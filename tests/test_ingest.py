@@ -120,3 +120,46 @@ def test_array_element_match_excludes_scalar(spark, tmp_path):
         ).collect()
     }
     assert got2 == {"1"}
+
+
+def test_dotted_key_ingests_as_literal_column(spark):
+    """A JSON key literally containing '.' (the reference's escaped
+    keypath chars) must ingest as its own column with the VALUES intact
+    — the variant path interpolation bracket-quotes non-identifier keys
+    instead of walking a→b (ADVICE r5)."""
+    docs = [
+        json.dumps({"_id": "1", "a.b": "hello world", "n": 1}),
+        json.dumps({"_id": "2", "a.b": "bye", "n": 2}),
+    ]
+    df = ingest_json(spark, docs)
+    assert "a.b" in df.columns
+    vals = {r["url"]: r["a.b"] for r in df.select("url", "`a.b`").collect()}
+    assert vals == {"1": "hello world", "2": "bye"}
+
+
+def test_bbox_ignores_non_coordinate_numbers(spark):
+    """bbox_overlap_json must derive extents from the coordinates
+    member only — digits in sibling string values or extra numeric
+    members must not corrupt the extents / x-y parity (ADVICE r5)."""
+    from pyspark.sql import functions as F
+
+    from noise_spark.query.variant import bbox_overlap_json
+
+    rows = [
+        # route66 digits + a z member would previously pollute extents
+        ('{"type":"Point","coordinates":[10,20],"name":"Route 66","z":999}', True),
+        ('{"type":"Point","coordinates":[10,20],"name":"Route 66"}', True),
+        ('{"type":"Point","coordinates":[200,200],"name":"5 5"}', False),
+        ("[[10,20],[11,21]]", True),  # bare coordinate array
+        ('{"type":"Point"}', False),  # no coordinates at all
+    ]
+    df = spark.createDataFrame([(js,) for js, _ in rows], "js string").select(
+        F.parse_json("js").alias("v"), "js"
+    )
+    got = [
+        r["hit"]
+        for r in df.select(
+            "js", bbox_overlap_json(F.col("v"), 5, 15, 15, 25).alias("hit")
+        ).collect()
+    ]
+    assert got == [want for _, want in rows]

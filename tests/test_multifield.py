@@ -201,3 +201,52 @@ def test_fields_auto_derives_from_schema(spark, tmp_path):
     assert [
         x["doc_id"] for x in r._match_set(P.Term("de", field="lang")).collect()
     ] == [1]
+
+
+@pytest.fixture(scope="module")
+def typed_array_reader(spark, tmp_path_factory):
+    """Typed multi-field index with an array<string> column and NO
+    schemaless depth shadows (the ADVICE r5 repro: element word
+    conditions must verify against the stored column, not dead-key to
+    an empty prefilter)."""
+    rows = [
+        (0, "alpha doc", ["quick fox", "lazy dog"]),
+        (1, "beta doc", ["slow fox"]),
+        (2, "gamma doc", ["quick brown"]),
+        (3, "delta doc", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tags array<string>")
+    idx = str(tmp_path_factory.mktemp("typedarr") / "idx")
+    build_index(
+        spark,
+        df,
+        idx,
+        BuildConfig(
+            analyzer="whitespace",
+            doc_id_col="doc_id",
+            fields=("text", "tags"),
+            block_size=4,
+        ),
+    )
+    return IndexReader(spark, idx)
+
+
+def test_elem_word_on_typed_array_column(typed_array_reader):
+    """{tags: [~= "fox"]} on a typed corpus (no depth shadows) must
+    match docs whose stored array has a satisfying ELEMENT — the
+    prefilter falls back to field-present + verify instead of probing a
+    dead shadow key (which silently returned [])."""
+    r = typed_array_reader
+    got = {x["doc_id"] for x in r._match_set(
+        P.ElemWord("tags", ("word", ("fox",), None), depth=1)
+    ).collect()}
+    assert got == {0, 1}
+    # negated arm inside the tree: element with fox but NOT quick
+    got2 = {x["doc_id"] for x in r._match_set(
+        P.ElemWord(
+            "tags",
+            ("wand", ("word", ("fox",), None), ("wnot", ("word", ("quick",), None))),
+            depth=1,
+        )
+    ).collect()}
+    assert got2 == {1}
