@@ -207,9 +207,11 @@ def ft_schemaless_ingest(spark, sf_dir):
         ).alias("js")
     )
     ing = ingest_json(spark, even.union(odd))
+    # per-process suffix: two concurrent harness runs on one machine
+    # must not race on the rmtree/build of a shared path (r5 verdict nit)
     idx = os.path.join(
         tempfile.gettempdir(),
-        f"noise_spark_schemaless_{hashlib.sha1(sf_dir.encode()).hexdigest()[:10]}",
+        f"noise_spark_schemaless_{hashlib.sha1(sf_dir.encode()).hexdigest()[:10]}_{os.getpid()}",
     )
     import shutil
 

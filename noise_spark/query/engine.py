@@ -531,15 +531,20 @@ class IndexReader:
             stats = self._union(self._term_stats_paths)
             if self._term_stats_delta:
                 stats = stats.unionByName(self.spark.read.parquet(self._term_stats_delta))
+            # no groupBy exchange: each term has at most one stats row
+            # per generation (+ one delta row), so the filtered scan
+            # collects ≤ terms × generations rows and the integer sum
+            # happens driver-side — one stage instead of two
             rows = (
                 stats.filter(F.col("term").isin(missing))
-                .groupBy("term")
-                .agg(F.sum("df").alias("df"))
+                .select("term", "df")
                 .collect()
             )
-            got = {r["term"]: r["df"] for r in rows}
+            got: dict[str, int] = {}
+            for r in rows:
+                got[r["term"]] = got.get(r["term"], 0) + int(r["df"] or 0)
             for t in missing:
-                self._df_cache[t] = int(got.get(t) or 0)
+                self._df_cache[t] = got.get(t, 0)
         return {t: self._df_cache[t] for t in terms if self._df_cache.get(t, 0) > 0}
 
     def postings_for(self, terms: list[str], with_positions: bool = False) -> DataFrame:
@@ -887,6 +892,14 @@ class IndexReader:
         )
 
     @staticmethod
+    def _contains_not(node: P.Node) -> bool:
+        if isinstance(node, P.Not):
+            return True
+        if isinstance(node, (P.Or, P.And)):
+            return any(IndexReader._contains_not(c) for c in node.children)
+        return False
+
+    @staticmethod
     def _lit_map(d: dict):
         """map<string, T> of driver-side literals — replaces a
         createDataFrame + broadcast-join of a per-query lookup table
@@ -940,6 +953,19 @@ class IndexReader:
             for t in keys
         }
         avgdl_map = {t: self.field_avg_dl[self._field_of(t)] for t in keys}
+        if len(keys) == 1 and not self._contains_not(node):
+            # one distinct key and no negation: the scan already holds
+            # exactly one row per matching doc (tf is aggregated at
+            # build), so the score IS the single contribution — no
+            # groupBy, no shuffle, no mask. Bitwise identical: the
+            # general path's fold is 0.0 + contrib, an IEEE identity.
+            return (
+                self.postings_for(keys)
+                .select(
+                    "doc_id",
+                    self._contrib_expr(wmap, avgdl_map).alias("score"),
+                )
+            )
         match_expr = self._tree_expr(node, F.col("_mask"), qbits)
         scored = (
             self.postings_for(keys)
@@ -1510,7 +1536,9 @@ class IndexReader:
         Terms (the scored-retrieval hot path); other plans fall back to
         :meth:`search`. Rank-identical to the exhaustive path by
         construction (exact per-bin top-k + global merge).
-        ``seed_theta`` enables the global-θ first pass (OR mode); after
+        ``seed_theta``: None = adaptive (the postings-count cost gate),
+        True = force the global-θ first pass (OR mode), False = off;
+        after
         an action, ``self.last_blocks_decoded.value`` reports how many
         blocks the bins actually decoded."""
         from ..index.build import term_bucket
