@@ -584,19 +584,23 @@ def build_index(
                 )
                 .drop("n_salts")
             )
-        # size the merge shuffle by the data, not a parallelism multiple
-        # (guide §2.2: partitions in the 100MB–1GB range): estimated
-        # postings bytes ≈ docs-stage bytes × expansion (postings carry
-        # tf/positions per (term, doc) — measured ≈4× the doc payload at
-        # bench scale), floored at the parallelism level so small inputs
-        # keep every core busy. A flat ×8 multiple costs map-side block
-        # fan-out and AQE planning at small scale and is far too few
-        # partitions at 100 TB.
+        # size the merge shuffle for a PYTHON grouped-map stage: the
+        # reduce side runs the block builder in Python workers, so the
+        # constraint is CPU balance across ~|vocabulary| groups, not
+        # shuffle bytes — and AQE can split skewed partitions only for
+        # joins, never for grouped-map, so under-partitioning here is
+        # unfixable at runtime (measured: 32 partitions at 500k docs
+        # took the segments stage 88 s → 215 s). Floor at
+        # defaultParallelism × 8 for balance headroom (AQE coalesces
+        # surplus small partitions back cheaply), and raise with the
+        # data so 100 TB-scale postings still land ≤ ~256 MB per
+        # partition: estimated postings bytes ≈ docs-stage bytes × 4
+        # (measured expansion), bytes from committed lineage (no job).
         docs_bytes = (cat.stage_info(sp("docs")) or {}).get("bytes", 0) or 0
         est_shuffle_bytes = docs_bytes * 4
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
         merge_parts = max(
-            spark.sparkContext.defaultParallelism,
+            spark.sparkContext.defaultParallelism * 8,
             int(prev_parts),
             min(-(-est_shuffle_bytes // (256 << 20)), 1_000_000),
         )
