@@ -55,17 +55,25 @@ def global_row_number(
     )
     ordered.persist(StorageLevel.MEMORY_AND_DISK)
 
-    counts = (
-        ordered.select(F.spark_partition_id().alias("pid"))
-        .groupBy("pid")
-        .count()
-        .collect()
-    )
+    # exchange-free per-partition counts: one mapInPandas over the SAME
+    # persisted partitioning emits (pid, n) rows — P rows collected, no
+    # shuffle stage (the old groupBy(spark_partition_id()) added an
+    # Exchange just to merge P integers)
+    def _pcounts(iterator):
+        import pandas as _pd
+
+        pid = TaskContext.get().partitionId()
+        n = 0
+        for pdf in iterator:
+            n += len(pdf)
+        yield _pd.DataFrame({"pid": [pid], "n": [n]})
+
+    counts = ordered.mapInPandas(_pcounts, schema="pid int, n long").collect()
     offsets = {}
     acc = start
     for row in sorted(counts, key=lambda r: r["pid"]):
         offsets[row["pid"]] = acc
-        acc += row["count"]
+        acc += row["n"]
     b_offsets = spark.sparkContext.broadcast(offsets)
 
     out_schema = T.StructType(
