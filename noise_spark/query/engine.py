@@ -1281,18 +1281,43 @@ class IndexReader:
         # scored (query_id, doc_id, score) sets from the shared scans;
         # they share ONE two-stage top-k below
         scored_sets: list[DataFrame] = []
-        if rows:
-            # pandas-backed → one Arrow partition (see scored_matches)
-            wdf = F.broadcast(
-                self.spark.createDataFrame(
-                    pd.DataFrame(
-                        rows,
-                        columns=["query_id", "term", "w", "avgdl", "bit", "neg"],
-                    ),
-                    "query_id string, term string, w double, avgdl double, "
-                    "bit long, neg boolean",
+
+        def _fanout_explode(scan, per_term_rows, fields):
+            """Attach per-(term, query) metadata rows to the shared scan
+            WITHOUT a lookup-table broadcast join: the metadata is
+            driver-known, so it ships as a literal map
+            term → array<struct(...)> and an inner explode performs the
+            same fan-out (identical doubles → identical contributions;
+            collect_list order differs from the join's but every
+            consumer array_sorts first). One job and one
+            BroadcastExchange fewer per shared scan."""
+            casts = {"query_id": "string", "w": "double", "avgdl": "double",
+                     "bit": "long", "neg": "boolean", "nt": "int"}
+            entries = []
+            for t, lst in per_term_rows.items():
+                entries.append(F.lit(t))
+                entries.append(
+                    F.array(
+                        *[
+                            F.struct(
+                                *[
+                                    F.lit(v).cast(casts[f]).alias(f)
+                                    for f, v in zip(fields, tup)
+                                ]
+                            )
+                            for tup in lst
+                        ]
+                    )
                 )
+            m = F.create_map(*entries)
+            return scan.withColumn("_q", F.explode(m[F.col("term")])).select(
+                *scan.columns, *[F.col(f"_q.{f}").alias(f) for f in fields]
             )
+
+        if rows:
+            by_term: dict[str, list[tuple]] = {}
+            for qid_, t_, w_, a_, bit_, neg_ in rows:
+                by_term.setdefault(t_, []).append((qid_, w_, a_, bit_, neg_))
             union_terms = sorted({r[1] for r in rows})
             # ONE groupBy serves every term-only tree (no self-join,
             # segments decode once): the score aggregates the positive
@@ -1310,8 +1335,11 @@ class IndexReader:
                 )
                 match_expr = e if match_expr is None else (match_expr | e)
             per = (
-                self.postings_for(union_terms)
-                .join(wdf, "term")
+                _fanout_explode(
+                    self.postings_for(union_terms),
+                    by_term,
+                    ["query_id", "w", "avgdl", "bit", "neg"],
+                )
                 .withColumn("contrib", contrib)
                 .groupBy("query_id", "doc_id")
                 .agg(
@@ -1334,19 +1362,16 @@ class IndexReader:
             # payloads; candidates (all nt distinct terms present) then
             # take one Arrow-batched verify that pattern-checks every
             # query's docs in the same pass.
-            pwdf = F.broadcast(
-                self.spark.createDataFrame(
-                    pd.DataFrame(
-                        pos_rows,
-                        columns=["query_id", "term", "w", "avgdl", "nt"],
-                    ),
-                    "query_id string, term string, w double, avgdl double, nt int",
-                )
-            )
+            pos_by_term: dict[str, list[tuple]] = {}
+            for qid_, t_, w_, a_, nt_ in pos_rows:
+                pos_by_term.setdefault(t_, []).append((qid_, w_, a_, nt_))
             pos_terms = sorted({r[1] for r in pos_rows})
             per_pos = (
-                self._decode_segments(pos_terms, with_positions=True)
-                .join(pwdf, "term")
+                _fanout_explode(
+                    self._decode_segments(pos_terms, with_positions=True),
+                    pos_by_term,
+                    ["query_id", "w", "avgdl", "nt"],
+                )
                 .withColumn("contrib", contrib)
                 .groupBy("query_id", "doc_id")
                 .agg(

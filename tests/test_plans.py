@@ -176,8 +176,10 @@ def test_search_many_shares_one_segment_scan(plan_reader):
     # repeats every node once per plan phase)
     physical = df._jdf.queryExecution().executedPlan().toString()
     assert physical.count("MapInPandas") == 1, physical[:2000]
-    # the per-query weights table joins as a broadcast (no shuffle join)
-    assert "BroadcastHashJoin" in physical
+    # r6: the per-query weights fan out via a literal map + explode —
+    # no lookup-table join of ANY kind remains in the batched plan
+    assert "Generate explode" in physical
+    assert "BroadcastHashJoin" not in physical
 
 
 def test_search_many_positional_shares_one_scan(plan_reader):
@@ -196,7 +198,8 @@ def test_search_many_positional_shares_one_scan(plan_reader):
     df = plan_reader.search_many(qs, k=5)
     physical = df._jdf.queryExecution().executedPlan().toString()
     assert physical.count("MapInPandas") == 3, physical[:2000]
-    assert "BroadcastHashJoin" in physical
+    # r6: literal-map fan-out on both shared scans — join-free
+    assert "BroadcastHashJoin" not in physical
 
 
 def test_whole_doc_return_projects_all_doc_columns(plan_reader):
