@@ -88,6 +88,36 @@ def _warm_session(spark: SparkSession) -> None:
             .mode("overwrite")
             .save()
         )
+        # the scored-aggregation expression shape (literal map lookup +
+        # collect_list/array_sort + HOF fold + bit_or): compiles the
+        # codegen classes the first real query would otherwise pay for
+        from pyspark.sql import functions as F
+
+        (
+            spark.range(0, p * 4, 1, p)
+            .select(
+                "id",
+                F.create_map(F.lit("t"), F.lit(1.0))[F.lit("t")].alias("w"),
+                F.lit(1).cast("long").alias("bit"),
+            )
+            .groupBy("id")
+            .agg(
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.lit("t").alias("term"), F.col("w").alias("contrib"))
+                        )
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["contrib"],
+                ).alias("s"),
+                F.bit_or("bit").alias("m"),
+            )
+            .filter(F.col("m").bitwiseAND(F.lit(1)) != 0)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
         # grouped-map (applyInPandas) lane + range partitioner — the
         # other two stage shapes (segment merge, docID numbering)
         (
