@@ -625,36 +625,63 @@ def build_index(
         )
 
     # -- stage C: term stats from segment metadata (no token re-scan) --------
+    # The per-field Σcf that stage D needs rides the SAME job that
+    # writes term_stats, as observed metrics (CollectMetrics adds no
+    # shuffle and no second pass; long sums are exact integer
+    # arithmetic, identical to the old groupBy-per-field job).
+    observed_field_cf: dict | None = None
+    field_col = (
+        F.substring_index("term", FIELD_SEP, 1)
+        if len(cfg.fields) > 1
+        else F.lit(cfg.fields[0])
+    )
     if not done("term_stats"):
+        from pyspark.sql import Observation
+
         t0 = time.time()
         segs = spark.read.parquet(cat.stage_path(sp("segments")))
         term_stats = segs.groupBy("term").agg(
             F.sum("n_docs").alias("df"), F.sum("tf_sum").alias("cf")
         )
+        obs = Observation()
+        term_stats = term_stats.observe(
+            obs,
+            *[
+                F.sum(F.when(field_col == F.lit(f), F.col("cf"))).alias(f"cf_{i}")
+                for i, f in enumerate(cfg.fields)
+            ],
+        )
         term_stats.write.mode("overwrite").parquet(cat.stage_path(sp("term_stats")))
+        got = obs.get
+        observed_field_cf = {
+            f: int(got[f"cf_{i}"] or 0) for i, f in enumerate(cfg.fields)
+        }
         commit("term_stats", {"seconds": time.time() - t0, "analyzer": cfg.analyzer})
 
     # -- stage D: corpus stats (one row per indexed field) -------------------
+    built_stats_rows: list | None = None
     if not done("corpus_stats"):
         t0 = time.time()
         # n_docs comes from the docs stage's committed lineage rows;
-        # per-field Σcf (== Σtf over that field's postings) is ONE
+        # per-field Σcf (== Σtf over that field's postings) was observed
+        # on stage C's own write job above. Only on RESUME (term_stats
+        # committed by an earlier process) does it fall back to ONE
         # distributed agg over term_stats that collects len(fields)
         # rows. Never a driver-side read of the vocabulary: at web scale
         # term_stats is 10⁸–10⁹ rows — only the per-field sums may cross
         # to the driver (r3 VERDICT weak #3).
-        ts = spark.read.parquet(cat.stage_path(sp("term_stats")))
-        field_col = (
-            F.substring_index("term", FIELD_SEP, 1)
-            if len(cfg.fields) > 1
-            else F.lit(cfg.fields[0])
-        )
-        per_field = {f: 0 for f in cfg.fields}
-        for r in (
-            ts.groupBy(field_col.alias("field")).agg(F.sum("cf").alias("cf")).collect()
-        ):
-            if r["field"] in per_field:
-                per_field[r["field"]] = int(r["cf"] or 0)
+        if observed_field_cf is not None:
+            per_field = dict(observed_field_cf)
+        else:
+            ts = spark.read.parquet(cat.stage_path(sp("term_stats")))
+            per_field = {f: 0 for f in cfg.fields}
+            for r in (
+                ts.groupBy(field_col.alias("field"))
+                .agg(F.sum("cf").alias("cf"))
+                .collect()
+            ):
+                if r["field"] in per_field:
+                    per_field[r["field"]] = int(r["cf"] or 0)
         rows = [
             (i, f, n_docs, per_field[f], float(per_field[f]) / max(n_docs, 1))
             for i, f in enumerate(cfg.fields)
@@ -669,8 +696,19 @@ def build_index(
         )
         row.write.mode("overwrite").parquet(cat.stage_path(sp("corpus_stats")))
         commit("corpus_stats", {"seconds": time.time() - t0, "n_docs": n_docs})
+        built_stats_rows = rows
 
-    stats_rows = spark.read.parquet(cat.stage_path(sp("corpus_stats"))).orderBy("ordinal").collect()
-    metrics["n_docs"] = stats_rows[0]["n_docs"]
-    metrics["avg_dl"] = stats_rows[0]["avg_dl"]
+    if built_stats_rows is not None:
+        # stage D ran in THIS process: the written values are already in
+        # hand (rows[0] is ordinal 0 = the default field) — no re-read job
+        metrics["n_docs"] = built_stats_rows[0][2]
+        metrics["avg_dl"] = built_stats_rows[0][4]
+    else:
+        stats_rows = (
+            spark.read.parquet(cat.stage_path(sp("corpus_stats")))
+            .orderBy("ordinal")
+            .collect()
+        )
+        metrics["n_docs"] = stats_rows[0]["n_docs"]
+        metrics["avg_dl"] = stats_rows[0]["avg_dl"]
     return metrics

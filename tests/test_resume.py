@@ -57,6 +57,46 @@ def test_resume_after_crash(spark, tmp_path):
     assert a == b
 
 
+def test_resume_after_term_stats_matches_fresh_corpus_stats(spark, tmp_path):
+    """corpus_stats per-field sums: the fresh build observes them on the
+    term_stats write job; a resume (term_stats committed, corpus_stats
+    not) must fall back to the distributed agg and land on the SAME
+    values. Multi-field so the field-extraction branch is exercised."""
+    rows = [
+        (0, "alpha beta", "gamma delta epsilon"),
+        (1, "beta", "delta delta zeta"),
+        (2, "alpha alpha beta", "epsilon"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, title string, body string")
+    cfg = BuildConfig(
+        analyzer="whitespace", doc_id_col="doc_id", fields=("body", "title"), block_size=4
+    )
+
+    idx_resumed = str(tmp_path / "idx_resumed")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_index(spark, df, idx_resumed, cfg, fail_after_stage="term_stats")
+    cat = IndexCatalog(idx_resumed)
+    assert cat.stage_complete("term_stats")
+    assert not cat.stage_complete("corpus_stats")
+    build_index(spark, df, idx_resumed, cfg)
+
+    idx_fresh = str(tmp_path / "idx_fresh")
+    m = build_index(spark, df, idx_fresh, cfg)
+
+    a = spark.read.parquet(os.path.join(idx_resumed, "corpus_stats")).orderBy("ordinal").collect()
+    b = spark.read.parquet(os.path.join(idx_fresh, "corpus_stats")).orderBy("ordinal").collect()
+    assert a == b
+    # body: 3+3+1=7 tokens over 3 docs; title: 2+1+3=6
+    stats = {r["field"]: r for r in a}
+    assert stats["body"]["total_tokens"] == 7
+    assert stats["body"]["avg_dl"] == pytest.approx(7 / 3)
+    assert stats["title"]["total_tokens"] == 6
+    # build_index's returned metrics skip the re-read only when computed
+    # in-process — both paths must agree with the written table
+    assert m["avg_dl"] == pytest.approx(7 / 3)
+    assert m["n_docs"] == 3
+
+
 def test_lineage_rows_recorded(spark, small_index):
     idx_dir, _ = small_index
     cat = IndexCatalog(idx_dir)
